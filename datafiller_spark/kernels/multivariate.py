@@ -1,0 +1,310 @@
+"""Model-based multivariate imputation (numeric matrices).
+
+Pure-NumPy re-expression of the reference's CPU pipeline
+(reference: src/datafiller/multivariate/imputer.py:772-989 and
+:465-670), restricted to numeric targets — rolled-up tier metrics are
+always numeric. The three-step training policy per missingness pattern
+(reference docs/algorithm.rst:22-32) is preserved exactly:
+
+1. train on the rows fully observed over the pattern's usable columns
+   when there are at least ``min_samples_train`` of them;
+2. otherwise run optimask to carve the largest NaN-free rectangle,
+   requiring ``min_samples_train`` rows;
+3. cells no model could fill fall back to the column mean.
+
+Floating-point recipe pinned to the reference: float64 count/sum
+accumulation, population-std standardization with zero/NaN scales
+replaced by 1 (imputer.py:421-451), standardized fits with
+rescale-on-write (``pred * scale + mean``), FastRidge in float32.
+
+We implement the materialized-refit path (``use_gram=False`` branch);
+the reference's Gram-cache fast path is a CPU-cache optimization it
+itself pins equivalent within rtol 1e-4 (reference
+tests/test_multivariate.py:375-388, :483-501).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import numpy as np
+
+from ..exceptions import EngineValueError
+from .optimask import optimask
+from .ridge import FastRidge
+from .scoring import score_features
+
+_DEFAULT_MIN_SAMPLES_TRAIN = 20
+
+
+def _as_index_array(to_impute: None | int | Iterable, size: int) -> np.ndarray:
+    if to_impute is None:
+        return np.arange(size)
+    if isinstance(to_impute, (int, np.integer)):
+        return np.array([int(to_impute)])
+    return np.asarray(list(to_impute) if not isinstance(to_impute, np.ndarray) else to_impute)
+
+
+def _resolve_n_nearest(n_nearest_features: None | int | float, n: int) -> int | None:
+    if n_nearest_features is None:
+        return None
+    if isinstance(n_nearest_features, float):
+        if not (0 < n_nearest_features <= 1.0):
+            raise EngineValueError("n_nearest_features as a float must be in (0, 1].")
+        n_nearest_features = int(n_nearest_features * n)
+        if n_nearest_features == 0:
+            raise EngineValueError("n_nearest_features resolved to 0 features.")
+    if not isinstance(n_nearest_features, (int, np.integer)):
+        raise EngineValueError("n_nearest_features must be an int or float.")
+    if not (0 < n_nearest_features <= n):
+        raise EngineValueError(f"n_nearest_features must be between 1 and {n}.")
+    return int(n_nearest_features)
+
+
+class MultivariateImputer:
+    """Impute NaNs in a 2-D float matrix, column by column.
+
+    Args:
+        regressor: estimator with ``fit(X, y)`` / ``predict(X)``; defaults
+            to :class:`FastRidge` (alpha=1e-2, intercept), the reference
+            default.
+        min_samples_train: minimum training rows per model (default 20,
+            reference imputer.py:164).
+        fallback: ``"simple"`` fills still-NaN targeted cells with the
+            column mean; ``None`` leaves them NaN.
+    """
+
+    def __init__(
+        self,
+        *,
+        regressor: Any | None = None,
+        min_samples_train: int | None = None,
+        fallback: str | None = "simple",
+    ):
+        if fallback not in (None, "simple"):
+            raise EngineValueError(f"fallback must be 'simple' or None, got {fallback!r}")
+        self.regressor: Any = regressor if regressor is not None else FastRidge()
+        self.min_samples_train = (
+            _DEFAULT_MIN_SAMPLES_TRAIN if min_samples_train is None else int(min_samples_train)
+        )
+        self.fallback = fallback
+        self.imputation_features_: dict | None = None
+
+    # -- column statistics ------------------------------------------------
+
+    @staticmethod
+    def _nan_stats(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+        """NaN mask + per-column observed count/sum (float64 accumulation)."""
+        mask_nan = np.isnan(x)
+        observed = ~mask_nan
+        counts = np.count_nonzero(observed, axis=0).astype(np.int64)
+        sums = np.where(observed, x, 0).sum(axis=0, dtype=np.float64)
+        return mask_nan, counts, sums, bool(np.isinf(x).any())
+
+    @staticmethod
+    def _standardization(
+        x: np.ndarray, counts: np.ndarray, sums: np.ndarray, cols: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full-width means/scales; population std; degenerate scales → 1."""
+        n = x.shape[1]
+        means = np.zeros(n, dtype=np.float64)
+        scales = np.ones(n, dtype=np.float64)
+        with np.errstate(all="ignore"):
+            counts_sub = counts[cols]
+            means[cols] = np.where(counts_sub == 0, 0.0, sums[cols] / counts_sub)
+            deviations = np.where(np.isnan(x), 0.0, x - means)
+            sumsq = np.einsum("ij,ij->j", deviations, deviations)
+            scales_sub = np.sqrt(sumsq[cols] / counts_sub)
+            scales[cols] = np.where((scales_sub == 0) | np.isnan(scales_sub), 1.0, scales_sub)
+        return means, scales
+
+    def _sampled_cols(
+        self,
+        n_features: int,
+        col: int,
+        n_nearest: int | None,
+        scores: np.ndarray | None,
+        scores_index: int,
+    ) -> np.ndarray:
+        """All features but the target, or the top-k by score (stable order,
+        NaN scores last, result sorted ascending). Reference parity:
+        imputer.py:252-286."""
+        candidates = np.arange(n_features)
+        candidates = candidates[candidates != col]
+        if n_nearest is None:
+            return candidates
+        assert scores is not None
+        with np.errstate(all="ignore"):
+            feat_scores = np.nan_to_num(scores[scores_index][candidates], nan=-np.inf)
+        k = min(n_nearest, len(candidates))
+        ranking = np.argsort(-feat_scores, kind="stable")
+        return np.sort(candidates[ranking[:k]])
+
+    # -- per-column imputation ---------------------------------------------
+
+    def _impute_col(
+        self,
+        x: np.ndarray,
+        x_imputed: np.ndarray,
+        col: int,
+        mask_nan: np.ndarray,
+        mask_rows: np.ndarray,
+        n_nearest: int | None,
+        scores: np.ndarray | None,
+        scores_index: int,
+        norm_mean: float,
+        norm_scale: float,
+    ) -> None:
+        n = x.shape[1]
+        imputable = np.flatnonzero(mask_nan[:, col] & mask_rows)
+        if not imputable.size:
+            return
+        sampled = self._sampled_cols(n, col, n_nearest, scores, scores_index)
+        if self.imputation_features_ is not None:
+            self.imputation_features_[col] = sampled
+        trainable = np.flatnonzero(~mask_nan[:, col])
+        if not trainable.size:
+            return
+
+        local_train = x[np.ix_(trainable, sampled)]
+        local_target = x[trainable, col]
+        local_predict = x[np.ix_(imputable, sampled)]
+        local_mask = np.isnan(local_train)
+        m_local, k_local = local_train.shape
+
+        observed_patterns = ~np.isnan(local_predict)
+        patterns, inverse = np.unique(observed_patterns, axis=0, return_inverse=True)
+
+        local_rows = np.arange(m_local, dtype=np.uint32)
+        training_groups: dict[tuple, dict[str, Any]] = {}
+        for p in range(len(patterns)):
+            pattern = patterns[p]
+            prediction_group = np.flatnonzero(inverse == p).astype(np.uint32)
+            usable = np.flatnonzero(pattern).astype(np.uint32)
+            if not usable.size:
+                continue
+
+            # Step 1: rows fully observed over the usable columns.
+            rows = np.flatnonzero(~local_mask[:, usable].any(axis=1)).astype(np.uint32)
+            if len(rows) < self.min_samples_train:
+                # Step 2: optimask rectangle over the usable-column area.
+                sub_iy, sub_ix = np.nonzero(local_mask[:, usable])
+                rows, cols = optimask(
+                    iy=sub_iy.astype(np.uint32),
+                    ix=usable[sub_ix].astype(np.uint32),
+                    rows=local_rows,
+                    cols=usable,
+                    global_matrix_size=(m_local, k_local),
+                    min_rows=self.min_samples_train,
+                )
+                if len(rows) < self.min_samples_train or not len(cols):
+                    continue
+            else:
+                cols = usable
+
+            key = (rows.tobytes(), cols.tobytes())
+            group = training_groups.setdefault(key, {"rows": rows, "cols": cols, "preds": []})
+            group["preds"].append(prediction_group)
+
+        for group in training_groups.values():
+            cols = group["cols"]
+            rows = group["rows"]
+            pred_rows = (
+                group["preds"][0]
+                if len(group["preds"]) == 1
+                else np.concatenate(group["preds"]).astype(np.uint32)
+            )
+            self.regressor.fit(X=local_train[np.ix_(rows, cols)], y=local_target[rows])
+            preds = self.regressor.predict(local_predict[np.ix_(pred_rows, cols)])
+            x_imputed[imputable[pred_rows], col] = preds * norm_scale + norm_mean
+
+    @staticmethod
+    def _apply_fallback(
+        x_imputed: np.ndarray,
+        mask_nan: np.ndarray,
+        mask_rows: np.ndarray,
+        cols_to_impute: np.ndarray,
+    ) -> None:
+        """Column-mean fill for targeted cells no model reached.
+
+        Reference parity: imputer.py:744-770 (numeric branch)."""
+        for col in cols_to_impute:
+            remaining = mask_nan[:, col] & mask_rows & np.isnan(x_imputed[:, col])
+            if not remaining.any():
+                continue
+            observed = x_imputed[~mask_nan[:, col], col]
+            if not observed.size:
+                continue
+            x_imputed[remaining, col] = observed.mean()
+
+    # -- entry point ---------------------------------------------------------
+
+    def __call__(
+        self,
+        x: np.ndarray,
+        rows_to_impute: None | int | Iterable[int] = None,
+        cols_to_impute: None | int | Iterable[int] = None,
+        n_nearest_features: None | float | int = None,
+        normalize: bool = True,
+    ) -> np.ndarray:
+        x = np.asarray(x)
+        if x.ndim != 2:
+            raise EngineValueError(f"x must be a 2D array, got {x.ndim} dimensions.")
+        if not np.issubdtype(x.dtype, np.number):
+            raise EngineValueError(f"x must have a numeric dtype, got {x.dtype}.")
+        if not np.issubdtype(x.dtype, np.floating):
+            x = x.astype(np.float64)
+
+        mask_nan, counts, sums, has_inf = self._nan_stats(x)
+        if has_inf:
+            raise EngineValueError("x cannot contain infinity.")
+
+        m, n = x.shape
+        n_nearest = _resolve_n_nearest(n_nearest_features, n)
+        rows_idx = _as_index_array(rows_to_impute, m)
+        cols_idx = _as_index_array(cols_to_impute, n)
+        if rows_idx.size and (rows_idx.min() < 0 or rows_idx.max() >= m):
+            raise EngineValueError(f"rows_to_impute must be within [0, {m - 1}].")
+        if cols_idx.size and (cols_idx.min() < 0 or cols_idx.max() >= n):
+            raise EngineValueError(f"cols_to_impute must be within [0, {n - 1}].")
+        mask_rows = np.zeros(m, dtype=bool)
+        mask_rows[rows_idx] = True
+
+        if normalize:
+            norm_cols = np.arange(n, dtype=np.int64)
+            norm_means, norm_scales = self._standardization(x, counts, sums, norm_cols)
+            x_imputed = x.copy()
+            x = (x - norm_means) / norm_scales
+        else:
+            norm_means = norm_scales = None
+            x_imputed = x.copy()
+
+        if n_nearest is not None:
+            # Standardized columns have zero observed mean; others keep theirs.
+            score_means = np.where(counts == 0, 0.0, sums / np.maximum(counts, 1))
+            if norm_means is not None:
+                score_means[:] = 0.0
+            scores = score_features(x, cols_idx, column_means=score_means)
+            self.imputation_features_ = {}
+        else:
+            scores = None
+            self.imputation_features_ = None
+
+        for i, col in enumerate(cols_idx):
+            self._impute_col(
+                x,
+                x_imputed,
+                int(col),
+                mask_nan,
+                mask_rows,
+                n_nearest,
+                scores,
+                i,
+                0.0 if norm_means is None else float(norm_means[col]),
+                1.0 if norm_scales is None else float(norm_scales[col]),
+            )
+
+        if self.fallback == "simple":
+            self._apply_fallback(x_imputed, mask_nan, mask_rows, cols_idx)
+        return x_imputed

@@ -1,0 +1,134 @@
+"""Largest NaN-free training rectangle (optimask).
+
+Pure-NumPy re-expression of the reference's Numba implementation
+(reference: src/datafiller/_optimask.py:16-242). Given the NaN
+coordinates of a matrix, it pareto-orders the rows/columns that contain
+NaNs (alternating argsorts, first pass quicksort then stable — the sort
+kinds are kept identical so tie-breaking matches) and picks the largest
+rectangle under the resulting histogram, preferring rectangles that keep
+at least ``min_rows`` rows. Returns (rows, cols) safe to train on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..exceptions import EngineValueError
+
+_MAX_PARETO_STEPS = 16
+
+
+def _compress_first_appearance(index: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Relabel ``index`` to dense 0..k-1 ids in first-appearance order.
+
+    Returns (original_values_in_first_appearance_order, relabeled_index).
+    """
+    uniq, first_pos, inverse = np.unique(index, return_index=True, return_inverse=True)
+    appearance = np.argsort(first_pos, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[appearance] = np.arange(len(uniq))
+    return uniq[appearance].astype(np.uint32, copy=False), rank[inverse]
+
+
+def _groupby_max_plus1(groups: np.ndarray, values: np.ndarray, n: int) -> np.ndarray:
+    """Per group, ``max(value) + 1`` (0 for empty groups)."""
+    out = np.zeros(n, dtype=np.int64)
+    np.maximum.at(out, groups, values.astype(np.int64) + 1)
+    return out
+
+
+def _is_decreasing(h: np.ndarray) -> bool:
+    return bool(np.all(h[:-1] >= h[1:])) if len(h) > 1 else True
+
+
+def _relabel_by_permutation(perm: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """New label of old id ``perm[i]`` is ``i``."""
+    rank = np.empty(len(perm), dtype=np.int64)
+    rank[perm] = np.arange(len(perm))
+    return rank[labels]
+
+
+def _largest_rectangle(
+    heights: np.ndarray, m: int, n: int, min_rows: int = 1
+) -> tuple[int, int, int]:
+    """Max-area rectangle under the pareto histogram; prefer ≥ min_rows rows.
+
+    Reference parity: src/datafiller/_optimask.py:128-157.
+    """
+    if n > len(heights):
+        heights = np.concatenate((heights, np.array([0])))
+    rows_kept = m - heights
+    areas = rows_kept * (n - np.arange(len(heights)))
+    if min_rows > 1:
+        constrained = np.where(rows_kept >= min_rows, areas, 0)
+        if constrained.max() > 0:
+            i0 = int(np.argmax(constrained))
+            return i0, int(heights[i0]), int(areas[i0])
+    i0 = int(np.argmax(areas))
+    return i0, int(heights[i0]), int(areas[i0])
+
+
+def _keep(index: np.ndarray, with_nan: np.ndarray, perm: np.ndarray, split: int) -> np.ndarray:
+    """Drop from ``index`` the first ``split`` permuted NaN-carrying ids."""
+    if split == 0:
+        return index.astype(np.uint32, copy=True)
+    excluded = with_nan[perm[:split]]
+    mask = np.isin(index, excluded, invert=True)
+    return index[mask].astype(np.uint32, copy=False)
+
+
+def optimask(
+    iy: np.ndarray,
+    ix: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    global_matrix_size: tuple[int, int],
+    min_rows: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Largest NaN-free (rows, cols) training rectangle.
+
+    Args:
+        iy/ix: row/column coordinates of every NaN inside the candidate area.
+        rows/cols: the candidate row and column ids.
+        global_matrix_size: shape of the matrix the coordinates refer to.
+        min_rows: prefer rectangles keeping at least this many rows.
+    """
+    row_ids_nan, iyp = _compress_first_appearance(np.asarray(iy))
+    col_ids_nan, ixp = _compress_first_appearance(np.asarray(ix))
+    m_nan, n_nan = len(row_ids_nan), len(col_ids_nan)
+
+    hy = _groupby_max_plus1(iyp, ixp, m_nan)  # per NaN-row: max NaN-col id + 1
+    hx = _groupby_max_plus1(ixp, iyp, n_nan)  # per NaN-col: max NaN-row id + 1
+
+    p_rows = np.arange(m_nan, dtype=np.int64)
+    p_cols = np.arange(n_nan, dtype=np.int64)
+    ordered = False
+
+    step = 0
+    while not ordered and step < _MAX_PARETO_STEPS:
+        kind = "stable" if step else "quicksort"
+        axis = step % 2
+        step += 1
+        if axis == 0:
+            perm = (-hy).argsort(kind=kind)
+            iyp = _relabel_by_permutation(perm, iyp)
+            p_rows, hy = p_rows[perm], hy[perm]
+            hx = _groupby_max_plus1(ixp, iyp, n_nan)
+            ordered = _is_decreasing(hx)
+        else:
+            perm = (-hx).argsort(kind=kind)
+            ixp = _relabel_by_permutation(perm, ixp)
+            hy = _groupby_max_plus1(iyp, ixp, m_nan)
+            p_cols, hx = p_cols[perm], hx[perm]
+            ordered = _is_decreasing(hy)
+
+    if not ordered:
+        raise EngineValueError(f"Pareto ordering did not converge after {step} steps.")
+
+    i0, j0, area = _largest_rectangle(hx, len(rows), len(cols), min_rows=min_rows)
+    if area == 0:
+        return np.array([], dtype=np.uint32), np.array([], dtype=np.uint32)
+
+    cols_keep = _keep(np.asarray(cols), col_ids_nan, p_cols, i0)
+    rows_keep = _keep(np.asarray(rows), row_ids_nan, p_rows, j0)
+    return rows_keep, cols_keep

@@ -1,0 +1,194 @@
+"""Time-series imputation driver (numeric pandas frames).
+
+Pure NumPy/pandas re-expression of the reference's numeric path
+(reference: src/datafiller/timeseries/imputer.py:435-631):
+
+1. regularize the DatetimeIndex to its full grid (frequency from
+   ``index.freq`` → ``pd.infer_freq`` → min positive delta with an
+   exact-multiple check; unsorted/duplicate/irregular raise) —
+   reference imputer.py:187-223;
+2. optional linear interpolation of NaN runs ≤ ``interpolate_gaps_less_than``;
+3. lag/lead feature matrix + deterministic calendar features;
+4. prune generated features with no observed value (originals kept);
+5. multivariate ridge imputation with row/col targeting and
+   ``before``/``after`` time predicates;
+6. project back to the original column layout.
+
+This kernel is what runs per (series-group) inside the engine's
+``applyInPandas`` gap-fill operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from ..exceptions import EngineTypeError, EngineValueError
+from .lags import all_nan_columns, build_lag_matrix, interpolate_small_gaps
+from .multivariate import MultivariateImputer
+from .timefeat import make_time_features
+
+
+def infer_frequency(index: pd.DatetimeIndex):
+    """Base grid step of a DatetimeIndex, tolerating regular gaps."""
+    if index.freq is not None:
+        return index.freq
+    if len(index) < 2:
+        raise EngineValueError("index needs a frequency or at least two timestamps.")
+    if len(index) >= 3:
+        inferred = pd.infer_freq(index)
+        if inferred is not None:
+            return inferred
+    if not index.is_monotonic_increasing:
+        raise EngineValueError("index must be sorted in increasing order.")
+    if index.has_duplicates:
+        raise EngineValueError("index must not contain duplicate timestamps.")
+    ns = index.to_numpy(dtype="datetime64[ns]").astype(np.int64)
+    deltas = np.diff(ns)
+    positive = deltas[deltas > 0]
+    if not positive.size:
+        raise EngineValueError("index frequency could not be inferred.")
+    base = positive.min()
+    if np.any(positive % base != 0):
+        raise EngineValueError("index frequency could not be inferred from irregular gaps.")
+    return pd.Timedelta(base, unit="ns")
+
+
+def regularize_index(df: pd.DataFrame) -> pd.DataFrame:
+    """Reindex to the complete regular grid; inserted rows are all-NaN."""
+    if not isinstance(df.index, pd.DatetimeIndex):
+        raise EngineTypeError("DataFrame index must be a DatetimeIndex.")
+    freq = infer_frequency(df.index)
+    full = pd.date_range(start=df.index[0], end=df.index[-1], freq=freq, name=df.index.name)
+    if len(full) == len(df.index) and full.equals(df.index):
+        return df
+    return df.reindex(full)
+
+
+class TimeSeriesImputer:
+    """Gap-fill a regular-grid numeric time-series frame.
+
+    Args mirror the reference (timeseries/imputer.py:93-126): ``lags``
+    (positive = backward shifts, negative = leads; 0 forbidden),
+    ``min_samples_train``, ``fallback``, ``interpolate_gaps_less_than``,
+    ``add_time_features``.
+    """
+
+    def __init__(
+        self,
+        lags: Iterable[int] = (1,),
+        regressor=None,
+        min_samples_train: int | None = None,
+        fallback: str | None = "simple",
+        interpolate_gaps_less_than: int | None = None,
+        add_time_features: bool = True,
+    ):
+        lags = list(lags)
+        if not all(isinstance(i, int) for i in lags):
+            raise EngineValueError("lags must be an iterable of integers.")
+        if 0 in lags:
+            raise EngineValueError("lags cannot contain 0.")
+        self.lags = lags
+        self.interpolate_gaps_less_than = interpolate_gaps_less_than
+        self.add_time_features = add_time_features
+        self.multivariate_imputer = MultivariateImputer(
+            regressor=regressor,
+            min_samples_train=min_samples_train,
+            fallback=fallback,
+        )
+        self.imputation_features_: dict | None = None
+
+    def __call__(
+        self,
+        df: pd.DataFrame,
+        rows_to_impute=None,
+        cols_to_impute=None,
+        n_nearest_features: None | float | int = None,
+        before=None,
+        after=None,
+    ) -> pd.DataFrame:
+        if not isinstance(df, pd.DataFrame):
+            raise EngineTypeError("Input must be a pandas DataFrame.")
+        df = regularize_index(df)
+
+        if self.interpolate_gaps_less_than is not None:
+            df = df.copy()
+            for col in df.columns:
+                df[col] = interpolate_small_gaps(df[col], self.interpolate_gaps_less_than)
+
+        original_cols = df.columns
+        n_original = len(original_cols)
+
+        values = df.to_numpy()
+        if not np.issubdtype(values.dtype, np.floating):
+            try:
+                values = values.astype(np.float64)
+            except (TypeError, ValueError) as exc:
+                raise EngineValueError("TimeSeriesImputer requires numeric columns.") from exc
+
+        feature_names = list(original_cols)
+        for lag in self.lags:
+            feature_names.extend(f"{col}_lag_{lag}" for col in original_cols)
+        if self.add_time_features:
+            time_df = make_time_features(df.index, reserved_names=feature_names)
+            feature_names.extend(time_df.columns)
+            time_values = time_df.to_numpy(dtype=values.dtype)
+        else:
+            time_values = np.empty((len(df), 0), dtype=values.dtype)
+
+        matrix = build_lag_matrix(values, np.asarray(self.lags, dtype=np.int64), time_values)
+
+        # Generated features with no observed value are dropped; the original
+        # columns always survive so the output layout matches the input.
+        keep = ~all_nan_columns(matrix)
+        keep[:n_original] = True
+        if not keep.all():
+            matrix = np.ascontiguousarray(matrix[:, keep])
+            feature_names = [nm for nm, k in zip(feature_names, keep) if k]
+        feature_index = pd.Index(feature_names)
+
+        if cols_to_impute is None:
+            cols_idx = np.arange(n_original)
+        else:
+            if isinstance(cols_to_impute, (int, str)):
+                cols_to_impute = [cols_to_impute]
+            positions = []
+            for c in cols_to_impute:
+                if isinstance(c, int):
+                    positions.append(c)
+                elif isinstance(c, str):
+                    positions.append(original_cols.get_loc(c))
+                else:
+                    raise EngineValueError("cols_to_impute entries must be int or str.")
+            cols_idx = np.array(positions)
+
+        if rows_to_impute is not None:
+            if isinstance(rows_to_impute, (pd.DatetimeIndex, pd.TimedeltaIndex, pd.PeriodIndex)):
+                rows_to_impute = df.index.get_indexer(rows_to_impute)
+            elif isinstance(rows_to_impute, int):
+                rows_to_impute = [rows_to_impute]
+        elif before is not None or after is not None:
+            mask = pd.Series(True, index=df.index)
+            if before is not None:
+                mask &= df.index < pd.to_datetime(str(before))
+            if after is not None:
+                mask &= df.index > pd.to_datetime(str(after))
+            rows_to_impute = np.where(mask)[0]
+
+        imputed = self.multivariate_imputer(
+            matrix,
+            rows_to_impute=rows_to_impute,
+            cols_to_impute=cols_idx,
+            n_nearest_features=n_nearest_features,
+        )
+        self.imputation_features_ = self.multivariate_imputer.imputation_features_
+        if self.imputation_features_ is not None:
+            self.imputation_features_ = {
+                feature_index[col]: feature_index[features].tolist()
+                for col, features in self.imputation_features_.items()
+            }
+
+        positions = feature_index.get_indexer(original_cols)
+        return pd.DataFrame(imputed[:, positions], index=df.index, columns=original_cols)
