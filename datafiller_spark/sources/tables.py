@@ -1,0 +1,76 @@
+"""Table readers and the pre-tokenized sequence source.
+
+The engine's production input is an Iceberg table of pre-tokenized
+training sequences ``(doc_id string, tokens array<int32>, n_tok int32,
+source string)``. In this sandbox there is no Iceberg catalog, so
+``spark.read.parquet`` stands in — the scan-level properties we rely on
+(partition pruning, predicate pushdown, column pruning, snapshot pinning
+via immutable files) behave the same way through the DataSource V2 API.
+
+``tokenized_sequences`` derives that exact table shape deterministically
+from the driver-generated ``documents`` table: whitespace tokenization,
+crc32 token ids, and a hash-free event-time assignment (``doc_id mod
+1440`` minutes past a fixed epoch) that DuckDB can reproduce in SQL for
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Epoch for the deterministic sequence event-time derivation.
+TOKEN_TIME_BASE = "2024-01-01 00:00:00"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input-hint table (doc_id, tokens, n_tok, source [, event_ts]).
+
+    Deterministic derivation from ``documents``:
+    - ``tokens``: crc32 of each whitespace-separated token, cast to
+      int32 (two's-complement wrap) — tokens are never transformed
+      downstream, only counted/aggregated, so the id scheme is free;
+    - ``n_tok``: token count (0 for blank text);
+    - ``event_ts``: ``TOKEN_TIME_BASE + (doc_id % 1440) minutes`` —
+      a synthetic but deterministic ingest time that spreads sequences
+      over one day at minute grain, reproducible in ANSI SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(words))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<int>")
+        )
+        .otherwise(
+            # crc32 is uint32-ranged; fold into int32 domain (ANSI-safe)
+            F.transform(words, lambda w: F.pmod(F.crc32(F.encode(w, "utf-8")), F.lit(2147483647)).cast("int"))
+        )
+        .alias("tokens"),
+        n_tok.cast("int").alias("n_tok"),
+        F.col("source"),
+        (
+            F.to_timestamp(F.lit(TOKEN_TIME_BASE))
+            + F.make_interval(mins=(F.col("doc_id") % 1440).cast("int"))
+        ).alias("event_ts"),
+    )
