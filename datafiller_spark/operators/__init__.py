@@ -3,6 +3,17 @@ from .bucket import time_bucket, regular_grid
 from .gapfill import forward_fill, backward_fill, linear_fill, fill_small_gaps
 from .impute import model_gapfill
 from .encode import encode_tier, decode_tier
+from .text import tokenize_counts, quality_score, lang_id, fingerprint, token_count
+from .dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_duplicates,
+)
+from .similarity import cosine_topk, lsh_topk, embedding_near_dupes
+from .asof import asof_join
+from .multimodal import extract_features, sample_frames
 
 __all__ = [
     "rollup",
@@ -18,4 +29,20 @@ __all__ = [
     "model_gapfill",
     "encode_tier",
     "decode_tier",
+    "tokenize_counts",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "token_count",
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_duplicates",
+    "cosine_topk",
+    "lsh_topk",
+    "embedding_near_dupes",
+    "asof_join",
+    "extract_features",
+    "sample_frames",
 ]

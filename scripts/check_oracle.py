@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its
+``oracle_sql()`` on DuckDB, compares row count, column names, and
+values (order-insensitive: both sides sorted by all columns, NaN==NaN),
+and prints a per-query verdict. Usage:
+
+    python scripts/check_oracle.py            # all queries
+    python scripts/check_oracle.py rollup_1m  # one or more by name
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype("string")
+            except (TypeError, ValueError):
+                df[c] = df[c].map(repr).astype("string")
+        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == bool or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype("boolean")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if list(a.columns) != list(b.columns):
+        return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row counts differ: {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            af = av.astype("float64").to_numpy()
+            bf = bv.astype("float64").to_numpy()
+            same = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            if not same.all():
+                i = int(np.flatnonzero(~same)[0])
+                return False, f"col {c} row {i}: {af[i]!r} vs {bf[i]!r}"
+        else:
+            mism = ~((av == bv) | (av.isna() & bv.isna()))
+            if mism.any():
+                i = int(np.flatnonzero(mism.to_numpy())[0])
+                return False, f"col {c} row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from datafiller_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_df = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:<26} spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name:<26} {len(spark_df):>8} rows (no oracle) {time.time()-t0:5.1f}s")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:<26} duckdb error: {exc}")
+            failures += 1
+            continue
+        ok, msg = _values_equal(_canon(spark_df), _canon(duck_df))
+        verdict = "ok  " if ok else "FAIL"
+        print(f"{verdict}  {name:<26} {len(spark_df):>8} rows  {time.time()-t0:5.1f}s  {'' if ok else msg}")
+        failures += 0 if ok else 1
+
+    spark.stop()
+    print(f"\n{failures} failing" if failures else "\nall queries match the oracle")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,127 @@
+"""Dedup + similarity operators: planted duplicates must be found."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datafiller_spark.operators import (
+    cosine_topk,
+    embedding_near_dupes,
+    exact_duplicates,
+    lsh_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from datafiller_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick  brown fox jumps over the lazy dog"),  # normalized dup of 1
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (5, "completely different text about spark and rollups here"),
+        (6, "short text"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs_with_dupes):
+    out = exact_duplicates(docs_with_dupes, "doc_id", "text").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 2, 3]
+    assert all(r.canonical_id == 1 and r.group_size == 3 for r in out)
+
+
+def test_ngram_jaccard_finds_near_dup(docs_with_dupes):
+    pairs = ngram_jaccard_pairs(docs_with_dupes, "doc_id", "text", n=3, threshold=0.4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got  # identical → jaccard 1.0
+    assert (1, 4) in got  # near dup above 0.4
+    assert not any(5 in p or 6 in p or 7 in p for p in got)
+
+
+def test_minhash_lsh_catches_exact_pairs(docs_with_dupes):
+    pairs = minhash_lsh_pairs(
+        docs_with_dupes, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.4
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got  # identical shingle sets always collide
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs_with_dupes, "doc_id", "text", 3, 0.4).collect()
+    }
+    assert got <= exact  # LSH never invents pairs the verifier rejects
+
+
+def test_simhash_groups_identical_token_arrays(spark):
+    rows = [
+        ("a", [1, 2, 3, 4, 5, 6, 7, 8]),
+        ("b", [1, 2, 3, 4, 5, 6, 7, 8]),
+        ("c", [100, 200, 300, 999, 5, 17, 23, 42]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = simhash_duplicates(df, "doc_id", "tokens").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == ["a", "b"]
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel to 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(df, df.where("vec_id = 0"), "vec_id", "embedding", k=3).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [1, 2, 3]
+    assert ranked[0].cosine == pytest.approx(0.9 / np.sqrt(0.82), abs=1e-6)
+
+
+def test_lsh_topk_recall_on_planted_clusters(spark):
+    """Hyperplane LSH recall is only meaningful when neighbors are actually
+    close (near-orthogonal random vectors collide at chance level); plant
+    tight clusters and require the true neighbors to surface."""
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = rng.normal(size=16)
+        for _ in range(8):
+            rows.append((vid, (center + 0.05 * rng.normal(size=16)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") % 8 == 0)  # one per cluster
+    exact = cosine_topk(df, queries, k=3).collect()
+    approx = lsh_topk(df, queries, k=3, n_planes=6, dim=16).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9  # cluster members share the bucket
+
+
+def test_lsh_topk_runs_on_real_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = lsh_topk(emb, queries, k=3, n_planes=6, dim=64).collect()
+    assert len(approx) > 0
+    assert all(r.query_id != r.neighbor_id for r in approx)
+
+
+def test_embedding_near_dupes(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_near_dupes(df, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
