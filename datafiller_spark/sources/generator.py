@@ -24,16 +24,25 @@ def synth_sequences(
     mean_tokens: int = 128,
     span_minutes: int = 2880,
     partitions: int | None = None,
+    n_sources: int = 64,
 ) -> DataFrame:
-    """Deterministic skewed sequence table with ``n_docs`` rows."""
+    """Deterministic skewed sequence table with ``n_docs`` rows.
+
+    ``n_sources`` controls series-key cardinality: 30% of rows land on
+    one hot source ("web"), 20% on "books", the rest spread uniformly
+    over ``n_sources - 2`` cold "wiki-NN" shards — skew for the salting
+    path plus realistic key parallelism for the per-series stages.
+    """
+    n_tail = max(n_sources - 2, 1)
     df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
     h = F.abs(F.xxhash64(F.col("id"), F.lit(7)))
-    bucket100 = (h % 100).cast("int")
+    bucket1000 = (h % 1000).cast("int")
     source = (
-        F.when(bucket100 < 60, F.lit("web"))
-        .when(bucket100 < 80, F.lit("books"))
-        .when(bucket100 < 92, F.lit("code"))
-        .otherwise(F.lit("wiki"))
+        F.when(bucket1000 < 300, F.lit("web"))
+        .when(bucket1000 < 500, F.lit("books"))
+        .otherwise(
+            F.concat(F.lit("wiki-"), (F.abs(F.xxhash64(F.col("id"), F.lit(23))) % n_tail).cast("string"))
+        )
     )
     n_tok = (F.lit(mean_tokens // 2) + (h % F.lit(mean_tokens))).cast("int")
     tokens = F.transform(

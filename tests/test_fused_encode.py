@@ -1,0 +1,57 @@
+"""Fused gap-fill+encode must equal the two-stage path byte-for-byte."""
+
+import numpy as np
+
+from datafiller_spark.kernels.codec import decode_points
+from datafiller_spark.operators import cascade, encode_tier, model_gapfill, rollup
+from datafiller_spark.operators.impute import cascade_gapfill_encode_all, model_gapfill_encode
+from datafiller_spark.sources import synth_sequences
+
+
+def test_fused_equals_two_stage(spark):
+    seqs = synth_sequences(spark, 20000, mean_tokens=16, span_minutes=720)
+    t1m = rollup(seqs, ["source"], "event_ts", "n_tok", "1m").cache()
+    two = encode_tier(
+        model_gapfill(t1m, ["source"], "bucket", ["avg_value"], min_samples_train=20),
+        ["source"],
+        "bucket",
+        "avg_value",
+        "1m",
+    )
+    one = model_gapfill_encode(t1m, ["source"], "bucket", "avg_value", "1m", min_samples_train=20)
+    a = sorted((r.source, r.chunk_start, r.n_points, bytes(r.payload)) for r in two.collect())
+    b = sorted((r.source, r.chunk_start, r.n_points, bytes(r.payload)) for r in one.collect())
+    assert a == b
+    assert len(a) > 0
+
+
+def test_all_tier_kernel_matches_staged_cascade(spark):
+    """One-shuffle tier chain == Spark cascade + per-tier fused kernel.
+
+    Timestamps and point counts must match exactly; values match to
+    float tolerance (the in-kernel cascade sums observed aggregates in
+    time order, Spark's partial aggregation in partition order)."""
+    seqs = synth_sequences(spark, 15000, mean_tokens=16, span_minutes=720, n_sources=16)
+    t1m = rollup(seqs, ["source"], "event_ts", "n_tok", "1m").cache()
+
+    all_enc = cascade_gapfill_encode_all(t1m, ["source"], min_samples_train=20)
+    got = {(r.source, r.tier, r.chunk_start): r for r in all_enc.collect()}
+
+    staged = {}
+    for tier, tdf in (
+        ("1m", t1m),
+        ("1h", cascade(t1m, ["source"], "1h")),
+        ("1d", cascade(cascade(t1m, ["source"], "1h"), ["source"], "1d")),
+    ):
+        enc = model_gapfill_encode(tdf, ["source"], "bucket", "avg_value", tier, min_samples_train=20)
+        for r in enc.collect():
+            staged[(r.source, tier, r.chunk_start)] = r
+
+    assert set(got) == set(staged)
+    for key, r in got.items():
+        s = staged[key]
+        assert r.n_points == s.n_points
+        ts_a, va = decode_points(bytes(r.payload))
+        ts_b, vb = decode_points(bytes(s.payload))
+        np.testing.assert_array_equal(ts_a, ts_b)
+        np.testing.assert_allclose(va, vb, rtol=1e-9, atol=1e-9, equal_nan=True)
