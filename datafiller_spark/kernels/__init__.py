@@ -12,6 +12,7 @@ exactly so the gap-filled tiers are reproducible.
 """
 
 from .ridge import FastRidge, ridge_from_gram
+from .elm import ExtremeLearningMachine
 from .lags import build_lag_matrix, all_nan_columns, interpolate_small_gaps
 from .timefeat import make_time_features
 from .optimask import optimask
@@ -22,6 +23,7 @@ from .timeseries import TimeSeriesImputer, infer_frequency, regularize_index
 __all__ = [
     "FastRidge",
     "ridge_from_gram",
+    "ExtremeLearningMachine",
     "build_lag_matrix",
     "all_nan_columns",
     "interpolate_small_gaps",

@@ -1,3 +1,4 @@
 from .stream import streaming_rollup, start_rollup_stream
+from .gap_detector import detect_gaps
 
-__all__ = ["streaming_rollup", "start_rollup_stream"]
+__all__ = ["streaming_rollup", "start_rollup_stream", "detect_gaps"]
