@@ -220,6 +220,16 @@ def q_tokens_meta(spark, sf_dir):
     return tok.select("doc_id", "n_tok", "source", "event_ts")
 
 
+def q_token_values(spark, sf_dir):
+    """Per-row token-array equality invariant, value-checked: every
+    (doc_id, position, token id) must match the oracle's independent
+    derivation — proving tokens pass through the engine untransformed."""
+    tok = tokenized_sequences(spark, sf_dir)
+    return tok.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
 def q_token_rollup_1m(spark, sf_dir):
     tok = tokenized_sequences(spark, sf_dir)
     t = rollup(tok, ["source"], "event_ts", "n_tok", "1m")
@@ -398,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_1h": q_codec_roundtrip_1h,
         "model_gapfill_1h": q_model_gapfill_1h,
         "tokens_meta": q_tokens_meta,
+        "token_values": q_token_values,
         "token_rollup_1m": q_token_rollup_1m,
         "token_rollup_1h_cascade": q_token_rollup_1h_cascade,
         "dedup_exact": q_dedup_exact,
@@ -623,6 +634,17 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        source,
        TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 1440) * INTERVAL 1 MINUTE AS event_ts
 FROM documents
+"""
+    sql["token_values"] = """
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(str_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(str_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, pos,
+       CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647 AS INTEGER) AS token
+FROM words
 """
     sql["token_rollup_1m"] = f"""
 WITH tok AS (

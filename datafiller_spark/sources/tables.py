@@ -46,9 +46,10 @@ def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input-hint table (doc_id, tokens, n_tok, source [, event_ts]).
 
     Deterministic derivation from ``documents``:
-    - ``tokens``: crc32 of each whitespace-separated token, cast to
-      int32 (two's-complement wrap) — tokens are never transformed
-      downstream, only counted/aggregated, so the id scheme is free;
+    - ``tokens``: md5-derived int32 id per whitespace-separated word
+      (first 8 hex digits of md5, mod the Mersenne prime 2^31-1) —
+      reproducible in ANSI SQL, so the per-row token-array equality
+      invariant is oracle-checkable value by value;
     - ``n_tok``: token count (0 for blank text);
     - ``event_ts``: ``TOKEN_TIME_BASE + (doc_id % 1440) minutes`` —
       a synthetic but deterministic ingest time that spreads sequences
@@ -63,8 +64,14 @@ def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<int>")
         )
         .otherwise(
-            # crc32 is uint32-ranged; fold into int32 domain (ANSI-safe)
-            F.transform(words, lambda w: F.pmod(F.crc32(F.encode(w, "utf-8")), F.lit(2147483647)).cast("int"))
+            # md5-hex prefix → bigint → int32 domain (ANSI-safe fold)
+            F.transform(
+                words,
+                lambda w: F.pmod(
+                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+                    F.lit(2147483647),
+                ).cast("int"),
+            )
         )
         .alias("tokens"),
         n_tok.cast("int").alias("n_tok"),
