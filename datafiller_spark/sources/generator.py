@@ -49,7 +49,7 @@ def synth_sequences(
         F.sequence(F.lit(1), n_tok),
         lambda i: (F.abs(F.xxhash64(F.col("id"), i, F.lit(13))) % 50257).cast("int"),
     )
-    event_ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+    event_ts = F.to_timestamp_ntz(F.lit("2024-01-01 00:00:00")) + F.make_interval(
         mins=(F.col("id") % span_minutes).cast("int")
     )
     return df.select(

@@ -77,7 +77,9 @@ def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.cast("int").alias("n_tok"),
         F.col("source"),
         (
-            F.to_timestamp(F.lit(TOKEN_TIME_BASE))
+            # timestamp_ntz: bucket math stays identical whatever session
+            # timezone the caller's SparkSession runs with
+            F.to_timestamp_ntz(F.lit(TOKEN_TIME_BASE))
             + F.make_interval(mins=(F.col("doc_id") % 1440).cast("int"))
         ).alias("event_ts"),
     )
