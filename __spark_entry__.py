@@ -215,6 +215,16 @@ def q_model_gapfill_1h(spark, sf_dir):
     return filled.select("event_type", "bucket", F.round("avg_value", 6).alias("avg_value"))
 
 
+def q_gapfill_metrics(spark, sf_dir):
+    """Per-series fill attribution (interp/model/fallback — the
+    reference's 3-step policy) over the 1h tier. Rows-only: the split
+    depends on the model kernel."""
+    from datafiller_spark.operators import gapfill_metrics
+
+    t = _events_tier(spark, sf_dir, "1h")
+    return gapfill_metrics(t, ["event_type"], "bucket", "avg_value", min_samples_train=20)
+
+
 def q_tokens_meta(spark, sf_dir):
     tok = tokenized_sequences(spark, sf_dir)
     return tok.select("doc_id", "n_tok", "source", "event_ts")
@@ -407,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_features_1h": q_time_features_1h,
         "codec_roundtrip_1h": q_codec_roundtrip_1h,
         "model_gapfill_1h": q_model_gapfill_1h,
+        "gapfill_metrics": q_gapfill_metrics,
         "tokens_meta": q_tokens_meta,
         "token_values": q_token_values,
         "token_rollup_1m": q_token_rollup_1m,

@@ -90,6 +90,8 @@ class MultivariateImputer:
         )
         self.fallback = fallback
         self.imputation_features_: dict | None = None
+        #: cells filled by the model vs the mean fallback on the last call
+        self.fill_counts_: dict[str, int] = {"model": 0, "fallback": 0}
 
     # -- column statistics ------------------------------------------------
 
@@ -280,6 +282,7 @@ class MultivariateImputer:
             norm_means = norm_scales = None
             x_imputed = x.copy()
 
+        targeted_nan = int((mask_nan[:, cols_idx] & mask_rows[:, None]).sum())
         if n_nearest is not None:
             # Standardized columns have zero observed mean; others keep theirs.
             score_means = np.where(counts == 0, 0.0, sums / np.maximum(counts, 1))
@@ -305,6 +308,14 @@ class MultivariateImputer:
                 1.0 if norm_scales is None else float(norm_scales[col]),
             )
 
+        still_nan = int(
+            (mask_nan[:, cols_idx] & mask_rows[:, None] & np.isnan(x_imputed[:, cols_idx])).sum()
+        )
+        self.fill_counts_ = {"model": targeted_nan - still_nan, "fallback": 0}
         if self.fallback == "simple":
             self._apply_fallback(x_imputed, mask_nan, mask_rows, cols_idx)
+            left = int(
+                (mask_nan[:, cols_idx] & mask_rows[:, None] & np.isnan(x_imputed[:, cols_idx])).sum()
+            )
+            self.fill_counts_["fallback"] = still_nan - left
         return x_imputed

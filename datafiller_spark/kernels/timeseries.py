@@ -99,6 +99,9 @@ class TimeSeriesImputer:
             fallback=fallback,
         )
         self.imputation_features_: dict | None = None
+        #: cells filled per policy step on the last call — mirrors the
+        #: reference's 3-step training policy (docs/algorithm.rst:22-32)
+        self.fill_counts_: dict[str, int] = {"interp": 0, "model": 0, "fallback": 0}
 
     def __call__(
         self,
@@ -113,10 +116,13 @@ class TimeSeriesImputer:
             raise EngineTypeError("Input must be a pandas DataFrame.")
         df = regularize_index(df)
 
+        n_interp = 0
         if self.interpolate_gaps_less_than is not None:
             df = df.copy()
+            before_nan = int(df.isna().sum().sum())
             for col in df.columns:
                 df[col] = interpolate_small_gaps(df[col], self.interpolate_gaps_less_than)
+            n_interp = before_nan - int(df.isna().sum().sum())
 
         original_cols = df.columns
         n_original = len(original_cols)
@@ -184,6 +190,8 @@ class TimeSeriesImputer:
             n_nearest_features=n_nearest_features,
         )
         self.imputation_features_ = self.multivariate_imputer.imputation_features_
+        mv_counts = self.multivariate_imputer.fill_counts_
+        self.fill_counts_ = {"interp": n_interp, **mv_counts}
         if self.imputation_features_ is not None:
             self.imputation_features_ = {
                 feature_index[col]: feature_index[features].tolist()

@@ -1,7 +1,7 @@
 from .rollup import rollup, cascade, TIERS, tier_interval
 from .bucket import time_bucket, regular_grid
 from .gapfill import forward_fill, backward_fill, linear_fill, fill_small_gaps
-from .impute import model_gapfill
+from .impute import model_gapfill, model_gapfill_encode, cascade_gapfill_encode_all, gapfill_metrics
 from .encode import encode_tier, decode_tier
 from .text import tokenize_counts, quality_score, lang_id, fingerprint, token_count
 from .dedup import (
@@ -27,6 +27,9 @@ __all__ = [
     "linear_fill",
     "fill_small_gaps",
     "model_gapfill",
+    "model_gapfill_encode",
+    "cascade_gapfill_encode_all",
+    "gapfill_metrics",
     "encode_tier",
     "decode_tier",
     "tokenize_counts",

@@ -84,6 +84,69 @@ def model_gapfill(
     )
 
 
+def gapfill_metrics(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3, -1, -2, -3),
+    min_samples_train: int = 20,
+    interpolate_gaps_less_than: int | None = 4,
+) -> DataFrame:
+    """Per-series gap-fill metrics rows, one per key group:
+    (keys..., n_observed, n_grid, gaps_by_interp, gaps_by_model,
+    gaps_by_fallback, gaps_unfilled) — the lineage/metrics contract's
+    3-step-policy attribution (reference policy: docs/algorithm.rst:22-32).
+    """
+    keys = list(key_cols)
+    out_schema = StructType()
+    for k in keys:
+        out_schema.add(df.schema[k])
+    for c in ("n_observed", "n_grid", "gaps_by_interp", "gaps_by_model",
+              "gaps_by_fallback", "gaps_unfilled"):
+        out_schema.add(c, "long")
+
+    lags_list = [int(x) for x in lags]
+
+    def stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_values = {k: [pdf[k].iloc[0]] for k in keys}
+        frame = (
+            pdf[[bucket_col, value_col]]
+            .sort_values(bucket_col)
+            .set_index(bucket_col)
+            .astype("float64")
+        )
+        imputer = TimeSeriesImputer(
+            lags=lags_list,
+            min_samples_train=min_samples_train,
+            interpolate_gaps_less_than=interpolate_gaps_less_than,
+        )
+        try:
+            filled = imputer(frame)
+            counts = imputer.fill_counts_
+            n_grid = len(filled)
+            unfilled = int(filled.isna().sum().sum())
+        except Exception:
+            counts = {"interp": 0, "model": 0, "fallback": 0}
+            n_grid = len(frame)
+            unfilled = int(frame.isna().sum().sum())
+        return pd.DataFrame(
+            {
+                **key_values,
+                "n_observed": [len(pdf)],
+                "n_grid": [n_grid],
+                "gaps_by_interp": [counts["interp"]],
+                "gaps_by_model": [counts["model"]],
+                "gaps_by_fallback": [counts["fallback"]],
+                "gaps_unfilled": [unfilled],
+            }
+        )
+
+    return df.select(*keys, bucket_col, value_col).groupBy(*keys).applyInPandas(
+        stats_group, schema=out_schema
+    )
+
+
 def model_gapfill_encode(
     df: DataFrame,
     key_cols: Sequence[str],
