@@ -159,16 +159,22 @@ def main() -> None:
         raise RuntimeError(f"worker {kind}@{cpus} produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
     def best_of(kind: str, cpus: int, k: int) -> dict:
-        # the sandbox VM has ±20% run-to-run CPU variance; take the best
-        # of k runs per level (same input, same code)
-        runs = [run_worker(kind, cpus) for _ in range(k)]
+        # the sandbox VM has ±20% run-to-run CPU variance and throttles
+        # after sustained load; cool down between runs and take the best
+        # of k (same input, same code)
+        runs = []
+        for i in range(k):
+            if i:
+                time.sleep(30)
+            runs.append(run_worker(kind, cpus))
         return min(runs, key=lambda d: d["wall"])
 
     n_low, n_high = N_LOW, N_HIGH
-    # the low level runs ~3-4x longer, which already averages the noise;
-    # repeat only the short high-level run
-    low = best_of("pipeline", n_low, 1)
+    # measure the short level first (cold box), cool down, then the long
+    # level; the low level runs ~3-4x longer which already averages noise
     high = best_of("pipeline", n_high, BENCH_REPEATS)
+    time.sleep(30)
+    low = best_of("pipeline", n_low, 1)
     queries = run_worker("queries", CPUS)
 
     speedup = high["points_per_sec"] / low["points_per_sec"]
