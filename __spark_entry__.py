@@ -215,6 +215,36 @@ def q_model_gapfill_1h(spark, sf_dir):
     return filled.select("event_type", "bucket", F.round("avg_value", 6).alias("avg_value"))
 
 
+def q_feature_scores(spark, sf_dir):
+    """Imputation feature scores (shared-observation × |corr|, reference
+    multivariate/_scoring.py:15-55) between the event-type series of the
+    1h tier. Rows-only: kernel math. Output: (target, feature, score)."""
+    import pandas as pd
+
+    from datafiller_spark.kernels import score_features
+
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", "avg_value")
+    pivoted = t.groupBy("bucket").pivot("event_type").agg(F.first("avg_value"))
+
+    def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("bucket")
+        cols = [c for c in pdf.columns if c not in ("bucket", "__g")]
+        x = pdf[cols].to_numpy(dtype="float64")
+        scores = score_features(x, np.arange(len(cols)))
+        rows = []
+        for i, target in enumerate(cols):
+            for j, feature in enumerate(cols):
+                if i != j:
+                    rows.append((target, feature, round(float(scores[i, j]), 6)))
+        return pd.DataFrame(rows, columns=["target", "feature", "score"])
+
+    return pivoted.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        score_all, schema="target string, feature string, score double"
+    )
+
+
 def q_gapfill_metrics(spark, sf_dir):
     """Per-series fill attribution (interp/model/fallback — the
     reference's 3-step policy) over the 1h tier. Rows-only: the split
@@ -418,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_1h": q_codec_roundtrip_1h,
         "model_gapfill_1h": q_model_gapfill_1h,
         "gapfill_metrics": q_gapfill_metrics,
+        "feature_scores": q_feature_scores,
         "tokens_meta": q_tokens_meta,
         "token_values": q_token_values,
         "token_rollup_1m": q_token_rollup_1m,
