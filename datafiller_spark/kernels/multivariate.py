@@ -249,6 +249,7 @@ class MultivariateImputer:
         cols_to_impute: None | int | Iterable[int] = None,
         n_nearest_features: None | float | int = None,
         normalize: bool = True,
+        _owns_input: bool = False,
     ) -> np.ndarray:
         x = np.asarray(x)
         if x.ndim != 2:
@@ -277,7 +278,14 @@ class MultivariateImputer:
             norm_cols = np.arange(n, dtype=np.int64)
             norm_means, norm_scales = self._standardization(x, counts, sums, norm_cols)
             x_imputed = x.copy()
-            x = (x - norm_means) / norm_scales
+            if _owns_input:
+                # caller guarantees it won't read x again (reference's
+                # _owns_input contract, imputer.py:808-811): standardize
+                # in place instead of allocating a third full matrix
+                x -= norm_means
+                x /= norm_scales
+            else:
+                x = (x - norm_means) / norm_scales
         else:
             norm_means = norm_scales = None
             x_imputed = x.copy()

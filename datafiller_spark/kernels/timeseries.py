@@ -188,6 +188,8 @@ class TimeSeriesImputer:
             rows_to_impute=rows_to_impute,
             cols_to_impute=cols_idx,
             n_nearest_features=n_nearest_features,
+            # `matrix` was built above and is never read again
+            _owns_input=True,
         )
         self.imputation_features_ = self.multivariate_imputer.imputation_features_
         mv_counts = self.multivariate_imputer.fill_counts_
