@@ -185,14 +185,17 @@ def q_time_features_1h(spark, sf_dir):
     day_angle = 2.0 * 3.141592653589793 * hour / 24.0
     dow = ((F.dayofweek("bucket") + 5) % 7).cast("double")  # Monday=0 like pandas
     week_angle = 2.0 * 3.141592653589793 * dow / 7.0
+    # `+ 0.0` normalizes IEEE signed zero: Spark and DuckDB disagree on the
+    # sign of cos/sin at exact multiples of pi/2 (-0.0 vs +0.0), and the
+    # driver hashes the textual representation.
     return t.select(
         "event_type",
         "bucket",
-        F.round(trend, 6).alias("trend"),
-        F.round(F.sin(day_angle), 6).alias("day_sin"),
-        F.round(F.cos(day_angle), 6).alias("day_cos"),
-        F.round(F.sin(week_angle), 6).alias("week_sin"),
-        F.round(F.cos(week_angle), 6).alias("week_cos"),
+        (F.round(trend, 6) + 0.0).alias("trend"),
+        (F.round(F.sin(day_angle), 6) + 0.0).alias("day_sin"),
+        (F.round(F.cos(day_angle), 6) + 0.0).alias("day_cos"),
+        (F.round(F.sin(week_angle), 6) + 0.0).alias("week_sin"),
+        (F.round(F.cos(week_angle), 6) + 0.0).alias("week_cos"),
     )
 
 
@@ -658,11 +661,11 @@ spans AS (
   SELECT event_type, min(epoch(bucket)) lo, max(epoch(bucket)) hi FROM tier GROUP BY 1
 )
 SELECT t.event_type, t.bucket,
-       round(CASE WHEN s.hi <> s.lo THEN (epoch(t.bucket) - s.lo) / (s.hi - s.lo) ELSE 0.0 END, 6) AS trend,
-       round(sin(2 * pi() * (hour(t.bucket) + minute(t.bucket) / 60.0) / 24.0), 6) AS day_sin,
-       round(cos(2 * pi() * (hour(t.bucket) + minute(t.bucket) / 60.0) / 24.0), 6) AS day_cos,
-       round(sin(2 * pi() * (isodow(t.bucket) - 1) / 7.0), 6) AS week_sin,
-       round(cos(2 * pi() * (isodow(t.bucket) - 1) / 7.0), 6) AS week_cos
+       round(CASE WHEN s.hi <> s.lo THEN (epoch(t.bucket) - s.lo) / (s.hi - s.lo) ELSE 0.0 END, 6) + 0.0 AS trend,
+       round(sin(2 * pi() * (hour(t.bucket) + minute(t.bucket) / 60.0) / 24.0), 6) + 0.0 AS day_sin,
+       round(cos(2 * pi() * (hour(t.bucket) + minute(t.bucket) / 60.0) / 24.0), 6) + 0.0 AS day_cos,
+       round(sin(2 * pi() * (isodow(t.bucket) - 1) / 7.0), 6) + 0.0 AS week_sin,
+       round(cos(2 * pi() * (isodow(t.bucket) - 1) / 7.0), 6) + 0.0 AS week_cos
 FROM tier t JOIN spans s USING (event_type)
 """
     sql["codec_roundtrip_1h"] = """

@@ -30,7 +30,7 @@ from typing import Any
 
 import numpy as np
 
-from ..exceptions import EngineValueError
+from ..exceptions import EngineTypeError, EngineValueError
 from .optimask import optimask
 from .ridge import FastRidge
 from .scoring import score_features
@@ -39,11 +39,39 @@ _DEFAULT_MIN_SAMPLES_TRAIN = 20
 
 
 def _as_index_array(to_impute: None | int | Iterable, size: int) -> np.ndarray:
+    """Resolve a rows/cols selector into validated, unique int64 positions.
+
+    Mirrors the reference's ``_process_to_impute`` validation
+    (reference: src/datafiller/multivariate/_utils.py:10-60): boolean
+    inputs are rejected (they would silently mis-index as 0/1), float
+    values must be integral, and duplicates are dropped so targeted-NaN
+    and fill counters are never skewed by a repeated index.
+    """
     if to_impute is None:
         return np.arange(size)
+    if isinstance(to_impute, (bool, np.bool_)):
+        raise EngineTypeError("rows/cols_to_impute must be integer positions, not booleans.")
     if isinstance(to_impute, (int, np.integer)):
-        return np.array([int(to_impute)])
-    return np.asarray(list(to_impute) if not isinstance(to_impute, np.ndarray) else to_impute)
+        return np.array([int(to_impute)], dtype=np.int64)
+    arr = np.asarray(to_impute if isinstance(to_impute, np.ndarray) else list(to_impute))
+    if arr.dtype == bool:
+        raise EngineTypeError(
+            "boolean masks are not supported for rows/cols_to_impute; pass integer positions."
+        )
+    if arr.size == 0:
+        return arr.astype(np.int64)
+    if not np.issubdtype(arr.dtype, np.number):
+        raise EngineTypeError(
+            f"rows/cols_to_impute must contain integers, got dtype {arr.dtype}."
+        )
+    if not np.issubdtype(arr.dtype, np.integer):
+        with np.errstate(invalid="ignore"):
+            integral = np.all(arr == np.floor(arr))
+        if not integral:
+            raise EngineValueError(
+                "rows/cols_to_impute must contain integral values (no NaN/fractions)."
+            )
+    return np.unique(arr.astype(np.int64))
 
 
 def _resolve_n_nearest(n_nearest_features: None | int | float, n: int) -> int | None:

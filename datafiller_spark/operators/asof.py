@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -25,38 +26,47 @@ def asof_join(
 ) -> DataFrame:
     """Left rows + latest right ``payload_cols`` with right_ts ≤ left_ts.
 
-    Rows with no prior right row keep NULL payloads.
+    Rows with no prior right row keep NULL payloads. The payload columns
+    are carried as ONE struct, so they always come from the same right
+    row (never a nondeterministic mix of columns from different rows);
+    when the right side has duplicate (key, right_ts) rows the struct
+    with the greatest payload values wins — a deterministic tiebreak
+    that does not depend on partitioning or scan order.
     """
     keys = list(key_cols)
     payloads = list(payload_cols)
+    payload_type = StructType(
+        [StructField(p, right.schema[p].dataType) for p in payloads]
+    )
 
     left_cols = [c for c in left.columns]
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payloads],
+        F.lit(None).cast(payload_type).alias("__p"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__p_{p}") for p in payloads],
+        F.struct(*[F.col(p).alias(p) for p in payloads]).alias("__p"),
     ).select(*l.columns)
 
     unioned = l.unionByName(r)
-    # right rows (side 0) sort before left rows at equal ts → "at or before"
+    # right rows (side 0) sort before left rows at equal ts → "at or
+    # before"; __p breaks ties among duplicate right rows deterministically
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__p")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "*",
-        *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"__c_{p}") for p in payloads],
+        F.last("__p", ignorenulls=True).over(w).alias("__c"),
     )
     return carried.where(F.col("__side") == 1).select(
         *left_cols,
-        *[F.col(f"__c_{p}").alias(p) for p in payloads],
+        *[F.col(f"__c.{p}").alias(p) for p in payloads],
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..exceptions import EngineError
 from ..kernels.timeseries import TimeSeriesImputer
 
 
@@ -70,9 +71,11 @@ def model_gapfill(
         )
         try:
             filled = imputer(frame, n_nearest_features=n_nearest_features)
-        except Exception:
+        except EngineError:
             # A group too short for frequency inference (or a single row)
             # passes through unfilled rather than failing the stage.
+            # Only the engine's own validation errors are expected here;
+            # anything else is a genuine kernel bug and must propagate.
             filled = frame
         out = filled.reset_index().rename(columns={"index": bucket_col})
         for k, v in key_values.items():
@@ -126,7 +129,7 @@ def gapfill_metrics(
             counts = imputer.fill_counts_
             n_grid = len(filled)
             unfilled = int(filled.isna().sum().sum())
-        except Exception:
+        except EngineError:
             counts = {"interp": 0, "model": 0, "fallback": 0}
             n_grid = len(frame)
             unfilled = int(frame.isna().sum().sum())
@@ -193,7 +196,7 @@ def model_gapfill_encode(
         )
         try:
             filled = imputer(frame)
-        except Exception:
+        except EngineError:
             filled = frame
         idx = filled.index
         vals = filled[value_col].to_numpy()
@@ -269,7 +272,7 @@ def cascade_gapfill_encode_all(
             )
             try:
                 filled = imputer(frame)
-            except Exception:
+            except EngineError:
                 filled = frame
             idx = filled.index
             ts = idx.view("int64") // 10**9

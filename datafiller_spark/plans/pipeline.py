@@ -23,6 +23,7 @@ Scale design (what survives 1000 executors / 10^12 sequences):
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -76,6 +77,38 @@ def salted_rollup(
     )
 
 
+def _merge_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    merge_keys: list[str],
+    partition_by: list[str] | None = None,
+    merge: bool = False,
+) -> None:
+    """Persist ``df``; with ``merge=True`` new rows REPLACE prior rows
+    sharing the same merge key and untouched keys keep their history —
+    the parquet stand-in for Iceberg MERGE / dynamic partition
+    overwrite. A static overwrite on a resume run would truncate the
+    whole directory and drop previously persisted data."""
+
+    def _write(d: DataFrame, p: str) -> None:
+        w = d.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(p)
+
+    if merge and os.path.exists(path):
+        prior = spark.read.parquet(path)
+        keep = prior.join(df.select(*merge_keys).distinct(), on=merge_keys, how="left_anti")
+        merged = keep.select(*df.columns).unionByName(df)
+        tmp = path + "__merge_tmp"
+        _write(merged, tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    else:
+        _write(df, path)
+
+
 def _lineage(df: DataFrame, tier: str, key_cols: list[str]) -> DataFrame:
     return (
         df.withColumn("__pid", F.spark_partition_id())
@@ -119,9 +152,11 @@ def run_pipeline(
     t0 = time.time()
     keys = list(key_cols)
 
+    prior_hw = None
     if resume and output_dir:
-        hw = read_high_water(spark, output_dir)
-        raw = incremental_filter(raw, hw, keys, ts_col)
+        prior_hw = read_high_water(spark, output_dir)
+        raw = incremental_filter(raw, prior_hw, keys, ts_col, tier="1m")
+    merging = bool(resume and output_dir)
 
     if salt_buckets and salt_col:
         t1m = salted_rollup(raw, keys, ts_col, value_col, "1m", salt_buckets, salt_col)
@@ -146,10 +181,15 @@ def run_pipeline(
         )
         enc = {tier: all_enc.where(F.col("tier") == tier) for tier in TIER_CHAIN}
         if output_dir:
-            all_enc.write.mode("overwrite").partitionBy("tier").parquet(
-                os.path.join(output_dir, "chunks")
+            all_enc = all_enc.cache()
+            _merge_write(
+                spark,
+                all_enc,
+                os.path.join(output_dir, "chunks"),
+                merge_keys=keys + ["tier", "chunk_start"],
+                partition_by=["tier"],
+                merge=merging,
             )
-            all_enc = spark.read.parquet(os.path.join(output_dir, "chunks"))
         stats = {
             r["tier"]: r
             for r in all_enc.groupBy("tier")
@@ -159,11 +199,12 @@ def run_pipeline(
         counters = {}
         total_points = 0
         for tier in TIER_CHAIN:
-            counters[f"tier_{tier}_bytes"] = int(stats[tier]["bytes"])
-            counters[f"tier_{tier}_points"] = int(stats[tier]["pts"])
-            total_points += int(stats[tier]["pts"])
+            row = stats.get(tier)
+            counters[f"tier_{tier}_bytes"] = int(row["bytes"]) if row else 0
+            counters[f"tier_{tier}_points"] = int(row["pts"]) if row else 0
+            total_points += counters[f"tier_{tier}_points"]
         if output_dir:
-            write_high_water(t1m, keys, output_dir)
+            write_high_water(t1m, keys, output_dir, prior=prior_hw)
         return PipelineResult(
             tiers=tiers,
             filled={},
@@ -224,8 +265,12 @@ def run_pipeline(
                 (tier, n_rows, int(stats["pts"] or 0), 0, int(stats["bytes"] or 0))
             )
             if output_dir:
-                encoded[tier].write.mode("overwrite").parquet(
-                    os.path.join(output_dir, f"chunks_tier={tier}")
+                _merge_write(
+                    spark,
+                    encoded[tier],
+                    os.path.join(output_dir, f"chunks_tier={tier}"),
+                    merge_keys=keys + ["chunk_start"],
+                    merge=merging,
                 )
             continue
 
@@ -271,12 +316,21 @@ def run_pipeline(
         )
 
         if output_dir:
-            filled[tier].write.mode("overwrite").partitionBy(*keys[:1]).parquet(
-                os.path.join(output_dir, f"tier={tier}")
+            _merge_write(
+                spark,
+                filled[tier],
+                os.path.join(output_dir, f"tier={tier}"),
+                merge_keys=keys + ["bucket"],
+                partition_by=keys[:1],
+                merge=merging,
             )
             if encode:
-                encoded[tier].write.mode("overwrite").parquet(
-                    os.path.join(output_dir, f"chunks_tier={tier}")
+                _merge_write(
+                    spark,
+                    encoded[tier],
+                    os.path.join(output_dir, f"chunks_tier={tier}"),
+                    merge_keys=keys + ["chunk_start"],
+                    merge=merging,
                 )
 
     metrics = spark.createDataFrame(
@@ -292,7 +346,7 @@ def run_pipeline(
         metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "metrics"))
         if lineage is not None:
             lineage.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage"))
-        write_high_water(t1m, keys, output_dir)
+        write_high_water(t1m, keys, output_dir, prior=prior_hw)
 
     return PipelineResult(
         tiers=tiers,

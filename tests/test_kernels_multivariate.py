@@ -130,3 +130,28 @@ def test_integer_matrix_promoted():
     x = np.arange(40).reshape(10, 4).astype(np.int64)
     out = MultivariateImputer()(x)
     np.testing.assert_array_equal(out, x.astype(np.float64))
+
+
+def test_index_selector_validation():
+    """rows/cols_to_impute validation mirrors the reference's
+    _process_to_impute: bools rejected, fractional floats rejected,
+    duplicates deduplicated (fill counters not skewed)."""
+    from datafiller_spark.exceptions import EngineTypeError
+
+    _, x, _ = _mar_matrix(seed=5)
+    imp = MultivariateImputer(min_samples_train=10)
+    with pytest.raises(EngineTypeError):
+        imp(x.copy(), cols_to_impute=[True, False])
+    with pytest.raises(EngineTypeError):
+        imp(x.copy(), cols_to_impute=np.array([True, False]))
+    with pytest.raises(EngineValueError):
+        imp(x.copy(), cols_to_impute=[0.5])
+    with pytest.raises(EngineValueError):
+        imp(x.copy(), cols_to_impute=[float("nan")])
+
+    # integral floats are accepted; duplicates collapse to one target
+    out_dup = imp(x.copy(), cols_to_impute=[0.0, 0, 0])
+    targeted = imp.fill_counts_["model"] + imp.fill_counts_["fallback"]
+    assert targeted == int(np.isnan(x[:, 0]).sum())
+    out_single = MultivariateImputer(min_samples_train=10)(x.copy(), cols_to_impute=0)
+    np.testing.assert_array_equal(out_dup, out_single)

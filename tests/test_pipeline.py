@@ -77,18 +77,58 @@ def test_resume_is_incremental_and_consistent(spark, tmp_path):
     res2 = run_pipeline(spark, second, ["source"], "event_ts", "n_tok", output_dir=out,
                         gapfill=False, encode=False, resume=True)
     incr_1m = res2.tiers["1m"].select("source", "bucket", "n_points").collect()
-    # resume processed only post-checkpoint buckets
+    # resume processed only buckets at/past the checkpoint (the high-water
+    # bucket itself is open and reprocessed wholesale)
     assert min(r.bucket for r in incr_1m) >= hw_min
 
-    # incremental union == single-shot run on everything
+    # the PERSISTED tier after the resume run == a single-shot run on
+    # everything: new rows replaced the boundary bucket, old rows survived
+    persisted = spark.read.parquet(os.path.join(out, "tier=1m"))
     single = rollup(full, ["source"], "event_ts", "n_tok", "1m")
-    incr_first = rollup(first, ["source"], "event_ts", "n_tok", "1m")
     a = sorted(
-        [tuple(r) for r in incr_first.select("source", "bucket", "n_points").collect()]
-        + [tuple(r) for r in incr_1m]
+        map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect())
     )
-    b = sorted(map(tuple, single.select("source", "bucket", "n_points").collect()))
+    b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
     assert a == b
+
+
+def test_resume_boundary_bucket_and_quiet_keys(spark, tmp_path):
+    """Sub-minute-aligned late rows in the open boundary bucket must not
+    double-count, and keys with no new data must keep both their
+    persisted tier rows and their high-water marks."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(src, sec, v):
+        return (src, base + datetime.timedelta(seconds=sec), v)
+
+    first_rows = [row("a", 10, 1), row("a", 40, 2), row("b", 30, 7)]
+    late_rows = [row("a", 50, 3), row("a", 70, 4)]  # 00:00:50 is INSIDE the open bucket
+    schema = "source string, event_ts timestamp, n_tok int"
+    first = spark.createDataFrame(first_rows, schema)
+    full = spark.createDataFrame(first_rows + late_rows, schema)
+
+    out = str(tmp_path / "bnd")
+    run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False, resume=True)
+
+    persisted = {
+        (r.source, r.bucket): (r.n_points, r.sum_value)
+        for r in spark.read.parquet(os.path.join(out, "tier=1m")).collect()
+    }
+    m0 = base
+    m1 = base + datetime.timedelta(minutes=1)
+    assert persisted == {
+        ("a", m0): (3, 6),  # re-aggregated boundary bucket, not 2+3 rows
+        ("a", m1): (1, 4),
+        ("b", m0): (1, 7),  # quiet key retained
+    }
+    hw = {
+        r.source: r.max_bucket
+        for r in spark.read.parquet(os.path.join(out, "_checkpoint_high_water")).collect()
+    }
+    assert hw == {"a": m1, "b": m0}  # quiet key's mark survived the resume
 
 
 def test_retention(spark, seqs, tmp_path):

@@ -104,3 +104,25 @@ def test_sample_frames_only_video(spark):
     out = sample_frames(df, every_n_bytes=1024, max_frames=3).collect()
     assert {r.asset_id for r in out} == {"v1"}
     assert sorted(r.offset for r in out) == [0, 1024, 2048]
+
+
+def test_asof_join_duplicate_right_rows_atomic(spark):
+    """Duplicate (key, right_ts) rows: payload columns must come from ONE
+    right row (carried as a struct), with a deterministic winner."""
+    import datetime
+
+    from datafiller_spark.operators import asof_join
+
+    t = datetime.datetime(2024, 1, 2)
+    left = spark.createDataFrame([(1, "k", datetime.datetime(2024, 1, 3))],
+                                 ["event_id", "key", "ts"])
+    right = spark.createDataFrame(
+        [("k", t, 1, 100.0), ("k", t, 2, 50.0)], ["key", "rts", "n", "p"]
+    )
+    for n_part in (1, 7):
+        out = asof_join(
+            left, right.repartition(n_part), ["key"], "ts", "rts", ["n", "p"]
+        ).collect()[0]
+        # atomic: (1,100) or (2,50), never (1,50)/(2,100); deterministic:
+        # the struct ordering picks the greatest payload tuple
+        assert (out.n, out.p) == (2, 50.0)
