@@ -306,14 +306,17 @@ class MultivariateImputer:
             norm_cols = np.arange(n, dtype=np.int64)
             norm_means, norm_scales = self._standardization(x, counts, sums, norm_cols)
             x_imputed = x.copy()
+            # (x - mean) / scale is computed in float64 and rounded ONCE
+            # into x's dtype, matching the reference's normalize kernels
+            # (_numba_utils.py:89-141); a two-step in-place `x -= m; x /= s`
+            # would round twice and drift float32 inputs by 1 ulp.
             if _owns_input:
                 # caller guarantees it won't read x again (reference's
                 # _owns_input contract, imputer.py:808-811): standardize
-                # in place instead of allocating a third full matrix
-                x -= norm_means
-                x /= norm_scales
+                # into the existing buffer instead of keeping a third matrix
+                np.divide(x - norm_means, norm_scales, out=x)
             else:
-                x = (x - norm_means) / norm_scales
+                x = ((x - norm_means) / norm_scales).astype(x.dtype, copy=False)
         else:
             norm_means = norm_scales = None
             x_imputed = x.copy()
