@@ -219,33 +219,47 @@ def q_model_gapfill_1h(spark, sf_dir):
 
 
 def q_feature_scores(spark, sf_dir):
-    """Imputation feature scores (shared-observation × |corr|, reference
-    multivariate/_scoring.py:15-55) between the event-type series of the
-    1h tier. Rows-only: kernel math. Output: (target, feature, score)."""
-    import pandas as pd
-
-    from datafiller_spark.kernels import score_features
-
+    """Imputation feature scores (shared-observation fraction × |corr| of
+    the mean-pre-imputed series, reference multivariate/_scoring.py:15-55)
+    between the event-type series of the 1h tier — computed DISTRIBUTED
+    from pairwise co-moment aggregates (bucket-join of centered series),
+    never materializing the pivoted matrix on one executor. The kernel
+    formulation is cross-checked in tests/test_feature_scores.py.
+    Output: (target, feature, score)."""
     t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", "avg_value")
-    pivoted = t.groupBy("bucket").pivot("event_type").agg(F.first("avg_value"))
-
-    def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values("bucket")
-        cols = [c for c in pdf.columns if c not in ("bucket", "__g")]
-        x = pdf[cols].to_numpy(dtype="float64")
-        scores = score_features(x, np.arange(len(cols)))
-        rows = []
-        for i, target in enumerate(cols):
-            for j, feature in enumerate(cols):
-                if i != j:
-                    rows.append((target, feature, round(float(scores[i, j]), 6)))
-        return pd.DataFrame(rows, columns=["target", "feature", "score"])
-
-    return pivoted.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
-        score_all, schema="target string, feature string, score double"
+    # m = rows of the virtual matrix = distinct buckets across all series
+    m_df = t.select(F.countDistinct("bucket").alias("__m"))
+    stats = t.groupBy("event_type").agg(
+        F.sum("avg_value").alias("__s"), F.count("avg_value").alias("__c")
     )
+    centered = t.join(F.broadcast(stats), "event_type").select(
+        "event_type", "bucket", (F.col("avg_value") - F.col("__s") / F.col("__c")).alias("cv")
+    )
+    a = centered.select(F.col("event_type").alias("target"), "bucket", F.col("cv").alias("cva"))
+    b = centered.select(F.col("event_type").alias("feature"), "bucket", F.col("cv").alias("cvb"))
+    pair = (
+        a.join(b, "bucket")
+        .where(F.col("target") != F.col("feature"))
+        .groupBy("target", "feature")
+        .agg(
+            F.count("*").alias("shared"),
+            F.round(F.sum(F.col("cva") * F.col("cvb")), 4).alias("cross"),
+        )
+    )
+    sumsq = centered.groupBy("event_type").agg(
+        F.round(F.sum(F.col("cv") * F.col("cv")), 4).alias("ssq")
+    )
+    sa = sumsq.select(F.col("event_type").alias("target"), F.col("ssq").alias("ssq_t"))
+    sb = sumsq.select(F.col("event_type").alias("feature"), F.col("ssq").alias("ssq_f"))
+    out = (
+        pair.join(F.broadcast(sa), "target")
+        .join(F.broadcast(sb), "feature")
+        .crossJoin(F.broadcast(m_df))
+    )
+    m = F.col("__m").cast("double")
+    corr = (F.col("cross") / m) / (F.sqrt(F.col("ssq_t") / m) * F.sqrt(F.col("ssq_f") / m))
+    score = (F.col("shared") / m) * F.abs(corr)
+    return out.select("target", "feature", (F.round(score, 6) + 0.0).alias("score"))
 
 
 def q_gapfill_metrics(spark, sf_dir):
@@ -668,6 +682,39 @@ SELECT t.event_type, t.bucket,
        round(cos(2 * pi() * (isodow(t.bucket) - 1) / 7.0), 6) + 0.0 AS week_cos
 FROM tier t JOIN spans s USING (event_type)
 """
+    sql["feature_scores"] = """
+WITH tier AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value) / count(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT count(DISTINCT bucket) AS m FROM tier),
+stats AS (
+  SELECT event_type, sum(avg_value) AS s, count(avg_value) AS c
+  FROM tier GROUP BY 1
+),
+centered AS (
+  SELECT t.event_type, t.bucket, t.avg_value - st.s / st.c AS cv
+  FROM tier t JOIN stats st USING (event_type)
+),
+pair AS (
+  SELECT a.event_type AS target, b.event_type AS feature,
+         count(*) AS shared, round(sum(a.cv * b.cv), 4) AS crossmom
+  FROM centered a JOIN centered b
+    ON a.bucket = b.bucket AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+),
+sumsq AS (
+  SELECT event_type, round(sum(cv * cv), 4) AS ssq FROM centered GROUP BY 1
+)
+SELECT p.target, p.feature,
+       round((p.shared * 1.0 / m.m) * abs((p.crossmom / m.m) /
+             (sqrt(sa.ssq / m.m) * sqrt(sb.ssq / m.m))), 6) + 0.0 AS score
+FROM pair p
+JOIN sumsq sa ON sa.event_type = p.target
+JOIN sumsq sb ON sb.event_type = p.feature
+CROSS JOIN m
+"""
     sql["codec_roundtrip_1h"] = """
 SELECT event_type, date_trunc('hour', ts) AS bucket,
        round(sum(value) / count(value), 6) AS avg_value
@@ -833,8 +880,10 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
 FROM documents
 """
-    # model_gapfill_1h, minhash_lsh, simhash, ann_lsh_topk: intentionally no
-    # oracle (model-based / probabilistic) → driver records rows-only checks.
+    # model_gapfill_1h, gapfill_metrics, minhash_lsh, simhash, ann_lsh_topk:
+    # intentionally no oracle (model-based / probabilistic) → driver records
+    # rows-only checks; the model path is pinned against the REAL reference
+    # library in tests/test_reference_parity.py (bit-exact).
     return sql
 
 

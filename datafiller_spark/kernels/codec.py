@@ -1,20 +1,33 @@
-"""Gorilla-style compression for rolled-up point streams.
+"""Gorilla-style compression for rolled-up point streams — vectorized.
 
 Engine-new (no reference counterpart): the tier sink stores each
-(series, tier, chunk) as one binary payload —
+(series, tier, chunk) as one binary payload. The scheme keeps Gorilla's
+ideas (delta-of-delta timestamps, XOR'd float64 values, variable
+widths) with two deliberate deviations that make BOTH directions pure
+NumPy array passes — no per-point Python:
 
-- timestamps: delta-of-delta with the Gorilla paper's bucket scheme
-  ('0' → dod 0; '10'+7 bits → [-63,64]; '110'+9 bits → [-255,256];
-  '1110'+12 bits → [-2047,2048]; '1111'+64 bits otherwise). Header
-  stores the first timestamp and first delta raw (64 bits each).
-- values (float64): XOR against the previous value; '0' for identical
-  bits; '10' reuses the previous leading/length window; '11' writes
-  6 bits of leading-zero count + 6 bits of (meaningful length - 1),
-  then the meaningful bits. First value raw (64 bits).
+1. **Sections, not interleaving.** Tags live in their own bit stream
+   (``np.packbits``), fixed-width class/header fields in another, and
+   variable-width payloads in a third. Interleaving (as in the paper)
+   forces a sequential walk on decode; splitting changes only the order
+   on the wire, not the information.
+2. **Byte-granular payloads.** Leading/trailing runs of the XOR (and
+   the dod magnitude classes) are measured in bytes, not bits, so every
+   payload byte belongs to exactly ONE field — packing and unpacking
+   become plain fancy-indexed assignments instead of bit-scatter
+   reductions (which are memory-bandwidth-bound in NumPy). Costs ~5-10%
+   payload size vs bit-precise Gorilla; buys ~50x encode throughput.
 
-Encode/decode are NumPy-vectorized bit packing (per-point bit widths
-computed array-wise, then a single cumulative-offset scatter into a bit
-buffer); no per-row Python in the hot loop beyond the window-reuse scan.
+Layout:
+
+- timestamps: ``u32 n | i64 t0 | i64 delta0 |`` then for the n-2
+  delta-of-deltas: 1-bit "nonzero" tags, 2-bit width classes for the
+  nonzero dods (1/2/3/8-byte two's complement), payload bytes.
+- values (float64): ``u32 n | u64 bits0 |`` then for the n-1 XORs
+  against the previous value: 1-bit "changed" tags, one header byte per
+  changed value (high nibble: leading zero BYTES, low nibble:
+  meaningful BYTES - 1), meaningful bytes.
+
 The property pinned by tests: decode(encode(ts, values)) round-trips
 int64 timestamps and float64 bit patterns exactly (NaN included).
 """
@@ -25,192 +38,201 @@ import struct
 
 import numpy as np
 
+_U64 = np.uint64
 
-class _BitWriter:
-    __slots__ = ("buf", "acc", "nbits")
-
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, width: int) -> None:
-        if width == 0:
-            return
-        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
-        self.nbits += width
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
-
-    def getvalue(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            out = bytes(self.buf) + bytes([(self.acc << pad) & 0xFF])
-        else:
-            out = bytes(self.buf)
-        return out
+#: dod width classes: 2-bit class id → payload BYTE width
+_DOD_BYTES = np.array([1, 2, 3, 8], dtype=np.int64)
 
 
-class _BitReader:
-    __slots__ = ("data", "pos")
+def _pack_var_bytes(values: np.ndarray, nbytes: np.ndarray) -> bytes:
+    """Concatenate variable-byte-width big-endian fields.
 
-    def __init__(self, data: bytes) -> None:
-        self.data = int.from_bytes(data, "big")
-        self.pos = len(data) * 8
+    Every output byte belongs to exactly one field, so each of the ≤8
+    per-field byte positions is a single vectorized masked assignment.
+    """
+    nbytes = np.asarray(nbytes, dtype=np.int64)
+    if len(nbytes) == 0:
+        return b""
+    values = np.asarray(values, dtype=_U64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    buf = np.empty(int(ends[-1]), dtype=np.uint8)
+    for k in range(8):
+        active = nbytes > k
+        if not active.any():
+            break
+        shift = ((nbytes[active] - 1 - k) << 3).astype(_U64)
+        buf[starts[active] + k] = ((values[active] >> shift) & _U64(0xFF)).astype(np.uint8)
+    return buf.tobytes()
 
-    def read(self, width: int) -> int:
-        if width == 0:
-            return 0
-        self.pos -= width
-        return (self.data >> self.pos) & ((1 << width) - 1)
+
+def _gather_var_bytes(buf: np.ndarray, starts: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_pack_var_bytes` (fields as uint64)."""
+    out = np.zeros(len(starts), dtype=_U64)
+    for k in range(8):
+        active = nbytes > k
+        if not active.any():
+            break
+        shift = ((nbytes[active] - 1 - k) << 3).astype(_U64)
+        out[active] |= buf[starts[active] + k].astype(_U64) << shift
+    return out
 
 
-def _signed(value: int, width: int) -> int:
-    sign = 1 << (width - 1)
-    return (value & (sign - 1)) - (value & sign)
+def _mask_to_bytes(values: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Two's-complement truncate int64 values into ``nbytes`` bytes."""
+    v = values.astype(np.int64).view(_U64)
+    full = nbytes >= 8
+    mask = (_U64(1) << (nbytes.clip(max=7) << 3).astype(_U64)) - _U64(1)
+    return np.where(full, v, v & mask)
+
+
+def _sign_extend_bytes(raw: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_mask_to_bytes`."""
+    bits = (nbytes.clip(max=8) << 3).astype(_U64)
+    full = nbytes >= 8
+    sign = (raw >> (bits - _U64(1))) & _U64(1)
+    ext = raw | np.where(
+        sign == 1, ~((_U64(1) << bits.clip(max=_U64(63))) - _U64(1)), _U64(0)
+    )
+    return np.where(full, raw, ext).view(np.int64)
 
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
     """Delta-of-delta encode int64 timestamps (any unit, must be sorted)."""
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
-    w = _BitWriter()
-    w.write(n, 32)
+    head = struct.pack(">I", n)
     if n == 0:
-        return w.getvalue()
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+        return head
+    head += struct.pack(">q", int(ts[0]))
     if n == 1:
-        return w.getvalue()
-    first_delta = int(ts[1] - ts[0])
-    w.write(first_delta & ((1 << 64) - 1), 64)
+        return head
     deltas = np.diff(ts)
+    head += struct.pack(">q", int(deltas[0]))
+    if n == 2:
+        return head
     dods = np.diff(deltas)
-    for dod in dods.tolist():
-        if dod == 0:
-            w.write(0b0, 1)
-        elif -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod, 7)
-        elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod, 9)
-        elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & ((1 << 64) - 1), 64)
-    return w.getvalue()
+    nonzero = dods != 0
+    tag_bytes = np.packbits(nonzero).tobytes()
+    nz = dods[nonzero]
+    cls = np.select(
+        [
+            (-(1 << 7) <= nz) & (nz < (1 << 7)),
+            (-(1 << 15) <= nz) & (nz < (1 << 15)),
+            (-(1 << 23) <= nz) & (nz < (1 << 23)),
+        ],
+        [0, 1, 2],
+        default=3,
+    ).astype(np.int64)
+    cls_bits = np.empty((len(nz), 2), dtype=np.uint8)
+    cls_bits[:, 0] = cls >> 1
+    cls_bits[:, 1] = cls & 1
+    cls_bytes = np.packbits(cls_bits.reshape(-1)).tobytes()
+    widths = _DOD_BYTES[cls]
+    payload = _pack_var_bytes(_mask_to_bytes(nz, widths), widths)
+    return head + tag_bytes + cls_bytes + payload
 
 
 def decode_timestamps(payload: bytes) -> np.ndarray:
-    r = _BitReader(payload)
-    n = r.read(32)
+    (n,) = struct.unpack_from(">I", payload, 0)
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    t0 = _signed(r.read(64), 64)
-    out[0] = t0
+    (t0,) = struct.unpack_from(">q", payload, 4)
     if n == 1:
+        out[0] = t0
         return out
-    delta = _signed(r.read(64), 64)
-    out[1] = t0 + delta
-    for i in range(2, n):
-        tag = r.read(1)
-        if tag == 0:
-            dod = 0
-        else:
-            tag = (tag << 1) | r.read(1)
-            if tag == 0b10:
-                dod = _dod_range(r.read(7), 7)
-            else:
-                tag = (tag << 1) | r.read(1)
-                if tag == 0b110:
-                    dod = _dod_range(r.read(9), 9)
-                else:
-                    tag = (tag << 1) | r.read(1)
-                    if tag == 0b1110:
-                        dod = _dod_range(r.read(12), 12)
-                    else:
-                        dod = _signed(r.read(64), 64)
-        delta += dod
-        out[i] = out[i - 1] + delta
+    (d0,) = struct.unpack_from(">q", payload, 12)
+    m = n - 2
+    dods = np.zeros(m, dtype=np.int64)
+    if m:
+        pos = 20
+        tag_len = (m + 7) >> 3
+        tags = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8, count=tag_len, offset=pos)
+        )[:m].astype(bool)
+        pos += tag_len
+        k = int(tags.sum())
+        if k:
+            cls_len = (2 * k + 7) >> 3
+            cls_bits = np.unpackbits(
+                np.frombuffer(payload, dtype=np.uint8, count=cls_len, offset=pos)
+            )[: 2 * k].reshape(k, 2)
+            cls = (cls_bits[:, 0].astype(np.int64) << 1) | cls_bits[:, 1]
+            pos += cls_len
+            widths = _DOD_BYTES[cls]
+            buf = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+            ends = np.cumsum(widths)
+            raw = _gather_var_bytes(buf, ends - widths, widths)
+            dods[tags] = _sign_extend_bytes(raw, widths)
+    # int64 cumsum wraps modulo 2^64 (C semantics), so any final value
+    # that fits in int64 is exact even if intermediates overflow
+    deltas = d0 + np.concatenate(([0], np.cumsum(dods)))
+    out[0] = t0
+    out[1:] = t0 + np.cumsum(deltas)
     return out
-
-
-def _dod_range(raw: int, width: int) -> int:
-    """Decode the asymmetric [-2^(w-1)+1, 2^(w-1)] bucket."""
-    val = _signed(raw, width)
-    # encoding wrote the two's-complement of dod in `width` bits; the
-    # asymmetric top value 2^(w-1) encodes as the most negative pattern
-    if val == -(1 << (width - 1)):
-        return 1 << (width - 1)
-    return val
 
 
 def encode_values(values: np.ndarray) -> bytes:
     """Gorilla XOR encode float64 values (NaN-safe: bit patterns round-trip)."""
-    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    bits = np.asarray(values, dtype=np.float64).view(_U64)
     n = len(bits)
-    w = _BitWriter()
-    w.write(n, 32)
+    head = struct.pack(">I", n)
     if n == 0:
-        return w.getvalue()
-    w.write(int(bits[0]), 64)
+        return head
+    head += struct.pack(">Q", int(bits[0]))
     if n == 1:
-        return w.getvalue()
-
+        return head
     xors = bits[1:] ^ bits[:-1]
-    prev_lead, prev_len = 65, 0  # invalid window → first nonzero xor opens one
-    for x in np.asarray(xors, dtype=np.uint64).tolist():
-        if x == 0:
-            w.write(0b0, 1)
-            continue
-        lead = 64 - int(x).bit_length()
-        if lead > 31:
-            lead = 31  # 5-bit clamp kept for window compactness
-        trail = (x & -x).bit_length() - 1
-        length = 64 - lead - trail
-        prev_trail = 64 - prev_lead - prev_len
-        if prev_len and lead >= prev_lead and trail >= prev_trail:
-            w.write(0b10, 2)
-            w.write(x >> prev_trail, prev_len)
-        else:
-            w.write(0b11, 2)
-            w.write(lead, 6)
-            w.write(length - 1, 6)
-            w.write(x >> trail, length)
-            prev_lead, prev_len = lead, length
-    return w.getvalue()
+    changed = xors != 0
+    tag_bytes = np.packbits(changed).tobytes()
+    x = xors[changed]
+    if len(x) == 0:
+        return head + tag_bytes
+    # leading/trailing zero BYTE counts straight from the byte view
+    xb = x.view(np.uint8).reshape(len(x), 8)
+    if not np.little_endian:  # pragma: no cover - x86/arm are little-endian
+        xb = xb[:, ::-1]
+    nz = xb != 0  # column 7 = most significant byte (little-endian view)
+    lead_b = np.argmax(nz[:, ::-1], axis=1)  # zero bytes above the top nonzero
+    trail_b = np.argmax(nz, axis=1)  # zero bytes below the bottom nonzero
+    mb = 8 - lead_b - trail_b
+    header = ((lead_b << 4) | (mb - 1)).astype(np.uint8).tobytes()
+    meaningful = x >> (trail_b.astype(_U64) << _U64(3))
+    payload = _pack_var_bytes(meaningful, mb)
+    return head + tag_bytes + header + payload
 
 
 def decode_values(payload: bytes) -> np.ndarray:
-    r = _BitReader(payload)
-    n = r.read(32)
-    out = np.empty(n, dtype=np.uint64)
+    (n,) = struct.unpack_from(">I", payload, 0)
     if n == 0:
-        return out.view(np.float64)
-    prev = r.read(64)
-    out[0] = prev
-    lead, length = 0, 0
-    for i in range(1, n):
-        tag = r.read(1)
-        if tag == 0:
-            out[i] = prev
-            continue
-        if r.read(1) == 0:  # reuse window
-            meaningful = r.read(length)
-            x = meaningful << (64 - lead - length)
-        else:
-            lead = r.read(6)
-            length = r.read(6) + 1
-            meaningful = r.read(length)
-            x = meaningful << (64 - lead - length)
-        prev ^= x
-        out[i] = prev
-    return out.view(np.float64)
+        return np.empty(0, dtype=np.float64)
+    (b0,) = struct.unpack_from(">Q", payload, 4)
+    out_xor = np.zeros(n, dtype=_U64)
+    out_xor[0] = b0
+    if n > 1:
+        m = n - 1
+        pos = 12
+        tag_len = (m + 7) >> 3
+        tags = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8, count=tag_len, offset=pos)
+        )[:m].astype(bool)
+        pos += tag_len
+        k = int(tags.sum())
+        if k:
+            header = np.frombuffer(payload, dtype=np.uint8, count=k, offset=pos)
+            lead_b = (header >> 4).astype(np.int64)
+            mb = (header & 0x0F).astype(np.int64) + 1
+            pos += k
+            buf = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+            ends = np.cumsum(mb)
+            meaningful = _gather_var_bytes(buf, ends - mb, mb)
+            trail_b = 8 - lead_b - mb
+            xs = np.zeros(m, dtype=_U64)
+            xs[tags] = meaningful << (trail_b.astype(_U64) << _U64(3))
+            out_xor[1:] = xs
+    # value[i] = bits0 ^ xor1 ^ ... ^ xori — a prefix-XOR scan
+    return np.bitwise_xor.accumulate(out_xor).view(np.float64)
 
 
 def encode_points(ts: np.ndarray, values: np.ndarray) -> bytes:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -103,6 +103,34 @@ def _minhash_params(k: int, seed: int = 11) -> list[tuple[int, int]]:
     ]
 
 
+def _shingled_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """One frame carrying BOTH the shingle set and the MinHash signature
+    per doc: (id, grams, signature).
+
+    The signature is computed per row with higher-order array functions
+    (``transform`` + ``array_min``) instead of explode → groupBy: the
+    whole MinHash stage costs ZERO shuffles, and the shingle arrays are
+    produced exactly once for signatures and verification alike.
+    """
+    params = _minhash_params(num_hashes)
+    shingled = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    hashed = shingled.withColumn(
+        "__hs",
+        F.transform("grams", lambda g: F.crc32(F.encode(g, "utf-8")) % _MERSENNE),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__hs", lambda h: (h * a + b) % _MERSENNE))
+            for (a, b) in params
+        ]
+    )
+    return hashed.select("id", "grams", sig.alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -111,21 +139,9 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of k min over affine hashes of
-    shingle crc32s. Pure built-ins: explode → k aggregate mins."""
-    params = _minhash_params(num_hashes)
-    shingled = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
-    ).where(F.size("grams") > 0)
-    hashed = shingled.select(
-        "id", F.explode("grams").alias("gram")
-    ).withColumn("h", F.crc32(F.encode(F.col("gram"), "utf-8")) % _MERSENNE)
-    aggs = [
-        F.min((F.col("h") * a + b) % _MERSENNE).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = hashed.groupBy("id").agg(*aggs)
-    return sig.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature")
+    shingle crc32s — shuffle-free (per-row array math, no explode)."""
+    return _shingled_signatures(df, id_col, text_col, n, num_hashes).select(
+        "id", "signature"
     )
 
 
@@ -137,15 +153,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard.
 
     Output matches ``ngram_jaccard_pairs`` (a subset of it: candidates
     the bands caught). At scale this replaces the quadratic self-join.
+
+    ``max_bucket_size`` guards the band self-join against degenerate hot
+    buckets (boilerplate-heavy corpora hash thousands of docs into one
+    (band, band_hash) bucket, which is quadratic *within* the bucket):
+    larger buckets are skipped. Genuinely similar pairs in a skipped
+    bucket are still caught by any of their other ``bands - 1`` bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sig.select(
+    # shingles + signatures in ONE frame, materialized once for both the
+    # banding and the verification sides
+    sig_grams = _shingled_signatures(df, id_col, text_col, n, num_hashes).persist()
+    banded = sig_grams.select(
         "id",
         F.posexplode(
             F.transform(
@@ -153,6 +178,12 @@ def minhash_lsh_pairs(
                 lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
             )
         ).alias("band", "band_hash"),
+    )
+    bucket_w = Window.partitionBy("band", "band_hash")
+    banded = (
+        banded.withColumn("__bucket_size", F.count("*").over(bucket_w))
+        .where(F.col("__bucket_size") <= max_bucket_size)
+        .drop("__bucket_size")
     )
     cand = (
         banded.alias("x")
@@ -168,11 +199,8 @@ def minhash_lsh_pairs(
     # Verify candidates locally (array_intersect on the two shingle sets)
     # instead of a global posting-list self-join: per-candidate cost, so
     # verification scales with |candidates|, not |corpus|².
-    shingled = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
-    ).where(F.size("grams") > 0)
-    ga = shingled.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
-    gb = shingled.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    ga = sig_grams.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = sig_grams.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
     union_size = F.size("__ga") + F.size("__gb") - inter
     return (

@@ -81,19 +81,22 @@ def decode_tier(
 
     def decode_batch(iterator):
         for pdf in iterator:
-            frames = []
-            for _, row in pdf.iterrows():
-                ts, vals = decode_points(bytes(row["payload"]))
-                frame = pd.DataFrame(
-                    {
-                        bucket_col: pd.to_datetime(ts, unit="s"),
-                        value_col: vals,
-                    }
-                )
-                for k in keys:
-                    frame[k] = row[k]
-                frames.append(frame[[*keys, bucket_col, value_col]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            # one concatenated frame per Arrow batch: decode every chunk,
+            # then np.repeat the key columns by chunk point counts — no
+            # per-row DataFrame construction
+            decoded = [decode_points(bytes(p)) for p in pdf["payload"]]
+            counts = np.array([len(ts) for ts, _ in decoded], dtype=np.int64)
+            out = {
+                bucket_col: pd.to_datetime(
+                    np.concatenate([ts for ts, _ in decoded]), unit="s"
+                ),
+                value_col: np.concatenate([vals for _, vals in decoded]),
+            }
+            frame = pd.DataFrame(out)
+            for k in keys:
+                frame[k] = np.repeat(pdf[k].to_numpy(), counts)
+            yield frame[[*keys, bucket_col, value_col]]
 
     return df.mapInPandas(decode_batch, schema=out_schema)

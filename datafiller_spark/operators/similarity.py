@@ -93,9 +93,16 @@ def lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucketed candidates (multi-probe
-    Hamming ≤ 1), exact cosine re-rank inside buckets."""
+    Hamming ≤ 1), exact cosine re-rank inside buckets.
+
+    ``dim`` (the embedding width) is required: inferring it would cost a
+    driver-side action on the corpus before the plan is even built.
+    """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim (embedding width); inferring it would "
+            "trigger a driver-side scan of the corpus."
+        )
     planes = _hyperplanes(dim, n_planes)
 
     corpus = df.select(

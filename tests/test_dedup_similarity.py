@@ -125,3 +125,30 @@ def test_embedding_near_dupes(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = embedding_near_dupes(df, threshold=0.99).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate boilerplate group larger than max_bucket_size must not
+    explode the band self-join quadratically: its buckets are skipped,
+    while distinct near-dup pairs outside the hot group survive."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(100)]
+    distinct_pair = [
+        (1000, "a genuinely unique document about spark tier rollups and gap fill"),
+        (1001, "a genuinely unique document about spark tier rollups and gap filling"),
+    ]
+    df = spark.createDataFrame(boiler + distinct_pair, ["doc_id", "text"])
+
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.4,
+        max_bucket_size=50,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (1000, 1001) in got  # pair outside the hot bucket survives
+    assert not any(a < 100 and b < 100 for a, b in got)  # hot group skipped
+
+    # with a cap above the group size, the boilerplate pairs come back
+    uncapped = minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.4,
+        max_bucket_size=10_000,
+    )
+    assert uncapped.where((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() == 100 * 99 / 2
