@@ -17,10 +17,18 @@ accumulation, population-std standardization with zero/NaN scales
 replaced by 1 (imputer.py:421-451), standardized fits with
 rescale-on-write (``pred * scale + mean``), FastRidge in float32.
 
-We implement the materialized-refit path (``use_gram=False`` branch);
-the reference's Gram-cache fast path is a CPU-cache optimization it
-itself pins equivalent within rtol 1e-4 (reference
-tests/test_multivariate.py:375-388, :483-501).
+Two fitting paths, mirroring the reference:
+
+- **materialized refit** (``use_gram=False``): every pattern refits
+  FastRidge on its own gathered row subset — byte-identical to the
+  reference's materialized branch (tests/test_reference_parity.py);
+- **Gram fast path** (default for the stock FastRidge, like the
+  reference's ``type(regressor) is FastRidge`` rule, imputer.py:523):
+  per-pattern Grams assembled from one shared complete-rows Gram plus
+  cached per-NaN-pattern group Grams (kernels/gram.py). The reference
+  pins the two paths equal within ~1e-4 of the column spread
+  (reference tests/test_multivariate.py:375-388, :483-501); the
+  engine's cross-path tests assert the same bound.
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ from typing import Any
 import numpy as np
 
 from ..exceptions import EngineTypeError, EngineValueError
+from .gram import GramSolver
 from .optimask import optimask
 from .ridge import FastRidge
 from .scoring import score_features
@@ -109,6 +118,7 @@ class MultivariateImputer:
         regressor: Any | None = None,
         min_samples_train: int | None = None,
         fallback: str | None = "simple",
+        use_gram: bool | None = None,
     ):
         if fallback not in (None, "simple"):
             raise EngineValueError(f"fallback must be 'simple' or None, got {fallback!r}")
@@ -117,6 +127,14 @@ class MultivariateImputer:
             _DEFAULT_MIN_SAMPLES_TRAIN if min_samples_train is None else int(min_samples_train)
         )
         self.fallback = fallback
+        # Gram fast path only expresses the stock normal-equations ridge;
+        # auto-enable exactly when the regressor IS that (the reference's
+        # `type(self.regressor) is FastRidge` rule, imputer.py:523)
+        if use_gram is None:
+            use_gram = type(self.regressor) is FastRidge
+        elif use_gram and type(self.regressor) is not FastRidge:
+            raise EngineValueError("use_gram=True requires the stock FastRidge regressor.")
+        self.use_gram = bool(use_gram)
         self.imputation_features_: dict | None = None
         #: cells filled by the model vs the mean fallback on the last call
         self.fill_counts_: dict[str, int] = {"model": 0, "fallback": 0}
@@ -206,6 +224,10 @@ class MultivariateImputer:
         observed_patterns = ~np.isnan(local_predict)
         patterns, inverse = np.unique(observed_patterns, axis=0, return_inverse=True)
 
+        solver = (
+            GramSolver(local_train, local_target) if self.use_gram and len(patterns) else None
+        )
+
         local_rows = np.arange(m_local, dtype=np.uint32)
         training_groups: dict[tuple, dict[str, Any]] = {}
         for p in range(len(patterns)):
@@ -213,6 +235,46 @@ class MultivariateImputer:
             prediction_group = np.flatnonzero(inverse == p).astype(np.uint32)
             usable = np.flatnonzero(pattern).astype(np.uint32)
             if not usable.size:
+                continue
+
+            if solver is not None:
+                # Gram fast path: assemble this pattern's Gram from the
+                # shared complete-rows Gram + admitted cached groups.
+                solved = solver.solve_pattern(
+                    usable.astype(np.int64),
+                    self.min_samples_train,
+                    alpha=self.regressor.alpha,
+                    fit_intercept=self.regressor.fit_intercept,
+                )
+                if solved is not None:
+                    coef, intercept, _ = solved
+                    pred = (
+                        local_predict[np.ix_(prediction_group, usable)].astype(np.float64)
+                        @ coef
+                        + intercept
+                    )
+                    x_imputed[imputable[prediction_group], col] = (
+                        pred * norm_scale + norm_mean
+                    )
+                    continue
+                # fewer than min_samples_train complete rows → same
+                # optimask fallback as the materialized path (step 2)
+                sub_iy, sub_ix = np.nonzero(local_mask[:, usable])
+                rows, cols = optimask(
+                    iy=sub_iy.astype(np.uint32),
+                    ix=usable[sub_ix].astype(np.uint32),
+                    rows=local_rows,
+                    cols=usable,
+                    global_matrix_size=(m_local, k_local),
+                    min_rows=self.min_samples_train,
+                )
+                if len(rows) < self.min_samples_train or not len(cols):
+                    continue
+                key = (rows.tobytes(), cols.tobytes())
+                group = training_groups.setdefault(
+                    key, {"rows": rows, "cols": cols, "preds": []}
+                )
+                group["preds"].append(prediction_group)
                 continue
 
             # Step 1: rows fully observed over the usable columns.

@@ -84,6 +84,7 @@ class TimeSeriesImputer:
         fallback: str | None = "simple",
         interpolate_gaps_less_than: int | None = None,
         add_time_features: bool = True,
+        use_gram: bool | None = None,
     ):
         lags = list(lags)
         if not all(isinstance(i, int) for i in lags):
@@ -97,6 +98,7 @@ class TimeSeriesImputer:
             regressor=regressor,
             min_samples_train=min_samples_train,
             fallback=fallback,
+            use_gram=use_gram,
         )
         self.imputation_features_: dict | None = None
         #: cells filled per policy step on the last call — mirrors the

@@ -35,6 +35,7 @@ def model_gapfill(
     interpolate_gaps_less_than: int | None = None,
     n_nearest_features: int | float | None = None,
     add_time_features: bool = True,
+    use_gram: bool | None = None,
 ) -> DataFrame:
     """Gap-fill ``value_cols`` per key group with the ridge kernel.
 
@@ -68,6 +69,7 @@ def model_gapfill(
             min_samples_train=min_samples_train,
             interpolate_gaps_less_than=interpolate_gaps_less_than,
             add_time_features=add_time_features,
+            use_gram=use_gram,
         )
         try:
             filled = imputer(frame, n_nearest_features=n_nearest_features)

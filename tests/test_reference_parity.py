@@ -4,12 +4,12 @@ The reference library itself runs in-process via tests/_reference_oracle
 (numba shimmed to pure Python — every @njit function is valid Python, so
 the shim changes speed, not values). Two parity levels, both pinned:
 
-1. **Bit-exact vs the reference's materialized-refit path.** The engine
-   implements the materialized path (SURVEY §7 decision); forcing the
-   reference down the same branch (any regressor whose ``type`` is not
-   exactly ``FastRidge`` — reference multivariate/imputer.py:523) makes
-   every fit input, every prediction, and every output cell identical at
-   the byte level. Asserted with ``assert_array_equal``.
+1. **Bit-exact vs the reference's materialized-refit path.** With both
+   sides forced down the materialized branch (engine: ``use_gram=False``;
+   reference: any regressor whose ``type`` is not exactly ``FastRidge``
+   — reference multivariate/imputer.py:523) every fit input, every
+   prediction, and every output cell is identical at the byte level.
+   Asserted with ``assert_array_equal``.
 
 2. **Tolerance vs the reference's DEFAULT Gram fast path.** The
    reference pins its own two paths equal only within rtol≈1e-4
@@ -105,7 +105,7 @@ def test_mvi_bit_exact_vs_reference_materialized(reference, materialized_ridge):
     for seed, ratio in ((0, 0.1), (1, 0.3), (2, 0.05)):
         x = _mar_matrix(seed=seed, ratio=ratio)
         r = reference.MultivariateImputer(regressor=materialized_ridge())(x.copy())
-        e = EngineMVI()(x.copy())
+        e = EngineMVI(use_gram=False)(x.copy())
         np.testing.assert_array_equal(e, r)
 
 
@@ -114,7 +114,7 @@ def test_mvi_bit_exact_with_feature_selection(reference, materialized_ridge):
     r = reference.MultivariateImputer(regressor=materialized_ridge())(
         x.copy(), n_nearest_features=3
     )
-    e = EngineMVI()(x.copy(), n_nearest_features=3)
+    e = EngineMVI(use_gram=False)(x.copy(), n_nearest_features=3)
     np.testing.assert_array_equal(e, r)
 
 
@@ -125,14 +125,14 @@ def test_mvi_bit_exact_with_targeting(reference, materialized_ridge):
     r = reference.MultivariateImputer(regressor=materialized_ridge())(
         x.copy(), rows_to_impute=rows, cols_to_impute=cols
     )
-    e = EngineMVI()(x.copy(), rows_to_impute=rows, cols_to_impute=cols)
+    e = EngineMVI(use_gram=False)(x.copy(), rows_to_impute=rows, cols_to_impute=cols)
     np.testing.assert_array_equal(e, r)
 
 
 def test_tsi_bit_exact_nan_df(reference, materialized_ridge):
     df = _nan_df()
     r = reference.TimeSeriesImputer(regressor=materialized_ridge())(df)
-    e = EngineTSI()(df)
+    e = EngineTSI(use_gram=False)(df)
     np.testing.assert_array_equal(e.to_numpy(), r.to_numpy())
     assert list(e.columns) == list(r.columns)
     assert e.index.equals(r.index)
@@ -141,7 +141,7 @@ def test_tsi_bit_exact_nan_df(reference, materialized_ridge):
 def test_tsi_bit_exact_reindex_panel(reference, materialized_ridge):
     dfm, full_index = _reindex_panel()
     r = reference.TimeSeriesImputer(lags=(1, 2, -1, -2), regressor=materialized_ridge())(dfm)
-    e = EngineTSI(lags=(1, 2, -1, -2))(dfm)
+    e = EngineTSI(lags=(1, 2, -1, -2), use_gram=False)(dfm)
     assert e.index.equals(full_index) and r.index.equals(full_index)
     np.testing.assert_array_equal(e.to_numpy(), r.to_numpy())
 
@@ -150,14 +150,14 @@ def test_tsi_bit_exact_hourly_panel_with_interp(reference, materialized_ridge):
     df = _hourly_panel()
     kwargs = dict(lags=(1, 2, 3, -1, -2, -3), interpolate_gaps_less_than=3)
     r = reference.TimeSeriesImputer(regressor=materialized_ridge(), **kwargs)(df)
-    e = EngineTSI(**kwargs)(df)
+    e = EngineTSI(use_gram=False, **kwargs)(df)
     np.testing.assert_array_equal(e.to_numpy(), r.to_numpy())
 
 
 def test_tsi_bit_exact_before_after(reference, materialized_ridge):
     df = _nan_df()
     r = reference.TimeSeriesImputer(regressor=materialized_ridge())(df, before="2020-01-08")
-    e = EngineTSI()(df, before="2020-01-08")
+    e = EngineTSI(use_gram=False)(df, before="2020-01-08")
     np.testing.assert_array_equal(e.to_numpy(), r.to_numpy())
 
 
@@ -167,7 +167,7 @@ def test_fallback_bit_exact(reference, materialized_ridge):
     x = rng.normal(size=(30, 3))
     x[5:25, 0] = np.nan  # only 10 observed rows < min_samples_train=20
     r = reference.MultivariateImputer(regressor=materialized_ridge())(x.copy())
-    e = EngineMVI()(x.copy())
+    e = EngineMVI(use_gram=False)(x.copy())
     np.testing.assert_array_equal(e, r)
 
 
@@ -184,6 +184,9 @@ def _assert_cross_path_close(e: np.ndarray, r: np.ndarray) -> None:
 
 
 def test_mvi_close_to_reference_default_gram_path(reference):
+    """Engine default (Gram fast path) vs reference default (Gram fast
+    path): same algorithm, different accumulation order (BLAS batch vs
+    row loops) → the reference's own cross-path bound applies."""
     for seed in (0, 1):
         x = _mar_matrix(seed=seed)
         r = reference.MultivariateImputer()(x.copy())
@@ -220,7 +223,8 @@ def test_spark_model_gapfill_matches_reference(spark, reference, materialized_ri
     sdf = spark.createDataFrame(rows, "key string, bucket timestamp, avg_value double")
 
     out = model_gapfill(
-        sdf, ["key"], "bucket", ["avg_value"], lags=(1, 2, -1, -2), min_samples_train=20
+        sdf, ["key"], "bucket", ["avg_value"], lags=(1, 2, -1, -2), min_samples_train=20,
+        use_gram=False,
     ).toPandas()
 
     for key in ("a", "b"):

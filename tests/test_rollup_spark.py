@@ -82,3 +82,40 @@ def test_grid_on_real_rollup(events):
     )
     for r in spans:
         assert r.n == int(r.expected)
+
+
+def test_rollup_partitioning_contract(spark, sf_dir):
+    """BASELINE.md tier-parity contract: integer metrics bit-identical
+    across partitionings; double sums equal after rounding to 4 decimals;
+    the model path is order-deterministic given tier rows."""
+    from datafiller_spark.operators import model_gapfill
+    from datafiller_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    def tier_rows(n_part):
+        t = rollup(events.repartition(n_part), ["event_type"], "ts", "value", "1h")
+        return {
+            (r.event_type, r.bucket): r
+            for r in t.collect()
+        }
+
+    a, b = tier_rows(1), tier_rows(64)
+    assert a.keys() == b.keys()
+    for key in a:
+        ra, rb = a[key], b[key]
+        # level 1: integer-composable metrics are exact
+        assert (ra.n_points, ra.min_value, ra.max_value) == (rb.n_points, rb.min_value, rb.max_value)
+        # level 2: double sums equal after the 4-decimal rounding policy
+        assert round(ra.sum_value, 4) == round(rb.sum_value, 4)
+
+    # level 3: identical tier rows → bit-identical model gap-fill at any
+    # parallelism (kernel sorts within group before any float math)
+    tier = rollup(events, ["event_type"], "ts", "value", "1h")
+    filled_1 = model_gapfill(tier.repartition(1), ["event_type"], "bucket", ["avg_value"],
+                             lags=(1, 2, -1, -2), min_samples_train=20)
+    filled_n = model_gapfill(tier.repartition(16), ["event_type"], "bucket", ["avg_value"],
+                             lags=(1, 2, -1, -2), min_samples_train=20)
+    fa = {(r.event_type, r.bucket): r.avg_value for r in filled_1.collect()}
+    fb = {(r.event_type, r.bucket): r.avg_value for r in filled_n.collect()}
+    assert fa == fb  # exact float equality, not approximate
