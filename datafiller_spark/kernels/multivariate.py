@@ -138,6 +138,40 @@ class MultivariateImputer:
         self.imputation_features_: dict | None = None
         #: cells filled by the model vs the mean fallback on the last call
         self.fill_counts_: dict[str, int] = {"model": 0, "fallback": 0}
+        #: set by the DataFrame path: encoded code columns that take the
+        #: MODE fallback instead of the mean (reference imputer.py:744-770)
+        self._mode_cols: set[int] | None = None
+
+    # -- sklearn-style surface (reference imputer.py:214-250) ---------------
+
+    def fit(self, X, y=None) -> "MultivariateImputer":
+        """No-op fit for pipeline compatibility."""
+        return self
+
+    def transform(self, X):
+        return self(X)
+
+    def fit_transform(self, X, y=None):
+        return self(X)
+
+    def get_params(self, deep: bool = True) -> dict:
+        return {
+            "regressor": self.regressor,
+            "min_samples_train": self.min_samples_train,
+            "fallback": self.fallback,
+            "use_gram": self.use_gram,
+        }
+
+    def set_params(self, **params) -> "MultivariateImputer":
+        current = self.get_params()
+        unknown = set(params) - set(current)
+        if unknown:
+            raise EngineValueError(f"unknown parameters: {sorted(unknown)}")
+        current.update(params)
+        if "regressor" in params and "use_gram" not in params:
+            current["use_gram"] = None  # re-derive the auto rule
+        self.__init__(**current)
+        return self
 
     # -- column statistics ------------------------------------------------
 
@@ -311,16 +345,18 @@ class MultivariateImputer:
             preds = self.regressor.predict(local_predict[np.ix_(pred_rows, cols)])
             x_imputed[imputable[pred_rows], col] = preds * norm_scale + norm_mean
 
-    @staticmethod
     def _apply_fallback(
+        self,
         x_imputed: np.ndarray,
         mask_nan: np.ndarray,
         mask_rows: np.ndarray,
         cols_to_impute: np.ndarray,
     ) -> None:
-        """Column-mean fill for targeted cells no model reached.
+        """Column-mean fill for targeted cells no model reached; columns
+        flagged categorical (DataFrame path) get the MODE instead.
 
-        Reference parity: imputer.py:744-770 (numeric branch)."""
+        Reference parity: imputer.py:744-770."""
+        mode_cols = self._mode_cols or set()
         for col in cols_to_impute:
             remaining = mask_nan[:, col] & mask_rows & np.isnan(x_imputed[:, col])
             if not remaining.any():
@@ -328,9 +364,69 @@ class MultivariateImputer:
             observed = x_imputed[~mask_nan[:, col], col]
             if not observed.size:
                 continue
-            x_imputed[remaining, col] = observed.mean()
+            if int(col) in mode_cols:
+                values, counts = np.unique(observed, return_counts=True)
+                x_imputed[remaining, col] = values[np.argmax(counts)]
+            else:
+                x_imputed[remaining, col] = observed.mean()
 
     # -- entry point ---------------------------------------------------------
+
+    def _impute_frame(
+        self,
+        df,
+        rows_to_impute,
+        cols_to_impute,
+        n_nearest_features,
+        normalize: bool,
+    ):
+        """Mixed-dtype pandas path: one-hot encode → impute → decode.
+
+        Categorical targets are predicted through their ridge-imputed
+        code column (snapped to the nearest valid code on decode) — the
+        sklearn-free stand-in for the reference's DecisionTree classifier
+        (M16); the mode fallback matches the reference exactly.
+        """
+        from .frame import decode_dataframe, encode_dataframe
+
+        codec = encode_dataframe(df)
+        if cols_to_impute is None:
+            target_idx = codec.main_indices
+        else:
+            if isinstance(cols_to_impute, (int, str)):
+                cols_to_impute = [cols_to_impute]
+            positions = []
+            for c in cols_to_impute:
+                if isinstance(c, str):
+                    positions.append(df.columns.get_loc(c))
+                elif isinstance(c, (int, np.integer)):
+                    positions.append(int(c))
+                else:
+                    raise EngineValueError("cols_to_impute entries must be int or str.")
+            target_idx = codec.main_indices[np.asarray(positions, dtype=np.int64)]
+
+        self._mode_cols = set(codec.categories)
+        try:
+            imputed = self(
+                codec.matrix,
+                rows_to_impute=rows_to_impute,
+                cols_to_impute=target_idx,
+                n_nearest_features=n_nearest_features,
+                normalize=normalize,
+                _owns_input=True,
+            )
+        finally:
+            self._mode_cols = None
+        out = decode_dataframe(codec, imputed)
+        # Observed cells pass through BIT-EXACTLY (the engine's invariant,
+        # SURVEY §7): the float32 working matrix would otherwise round
+        # float64 observed values. Deliberate improvement over the
+        # reference, which returns the float32-rounded values.
+        for col in df.columns:
+            observed = df[col].notna()
+            if observed.any():
+                out.loc[observed, col] = df.loc[observed, col]
+        return out
 
     def __call__(
         self,
@@ -341,6 +437,12 @@ class MultivariateImputer:
         normalize: bool = True,
         _owns_input: bool = False,
     ) -> np.ndarray:
+        import pandas as pd
+
+        if isinstance(x, pd.DataFrame):
+            return self._impute_frame(
+                x, rows_to_impute, cols_to_impute, n_nearest_features, normalize
+            )
         x = np.asarray(x)
         if x.ndim != 2:
             raise EngineValueError(f"x must be a 2D array, got {x.ndim} dimensions.")

@@ -92,6 +92,10 @@ class TimeSeriesImputer:
         if 0 in lags:
             raise EngineValueError("lags cannot contain 0.")
         self.lags = lags
+        self.regressor = regressor
+        self.min_samples_train = min_samples_train
+        self.fallback = fallback
+        self.use_gram = use_gram
         self.interpolate_gaps_less_than = interpolate_gaps_less_than
         self.add_time_features = add_time_features
         self.multivariate_imputer = MultivariateImputer(
@@ -104,6 +108,38 @@ class TimeSeriesImputer:
         #: cells filled per policy step on the last call — mirrors the
         #: reference's 3-step training policy (docs/algorithm.rst:22-32)
         self.fill_counts_: dict[str, int] = {"interp": 0, "model": 0, "fallback": 0}
+
+    # -- sklearn-style surface (reference timeseries/imputer.py:141-170) ----
+
+    def fit(self, X, y=None) -> "TimeSeriesImputer":
+        """No-op fit for pipeline compatibility."""
+        return self
+
+    def transform(self, X):
+        return self(X)
+
+    def fit_transform(self, X, y=None):
+        return self(X)
+
+    def get_params(self, deep: bool = True) -> dict:
+        return {
+            "lags": self.lags,
+            "regressor": self.regressor,
+            "min_samples_train": self.min_samples_train,
+            "fallback": self.fallback,
+            "interpolate_gaps_less_than": self.interpolate_gaps_less_than,
+            "add_time_features": self.add_time_features,
+            "use_gram": self.use_gram,
+        }
+
+    def set_params(self, **params) -> "TimeSeriesImputer":
+        current = self.get_params()
+        unknown = set(params) - set(current)
+        if unknown:
+            raise EngineValueError(f"unknown parameters: {sorted(unknown)}")
+        current.update(params)
+        self.__init__(**current)
+        return self
 
     def __call__(
         self,
