@@ -141,6 +141,18 @@ def q_gap_small_1h(spark, sf_dir):
     return f.select("event_type", "bucket", F.round("filled", 6).alias("filled"))
 
 
+def q_gap_spline_1h(spark, sf_dir):
+    """Natural cubic-spline fill of interior gaps (north-star gap-fill
+    menu; engine extra — no linear-SQL oracle exists for the tridiagonal
+    solve, so the driver records a rows-only check; kernel properties are
+    pinned by tests/test_spline.py)."""
+    from datafiller_spark.operators import spline_fill
+
+    g = _grid_with_avg(spark, sf_dir, "1h")
+    f = spline_fill(g, ["event_type"], "bucket", "avg_value", out_col="filled", max_gap=6)
+    return f.select("event_type", "bucket", F.round("filled", 6).alias("filled"))
+
+
 def q_freq_infer(spark, sf_dir):
     """Per series: base step (min positive delta) + regular-grid flag —
     the reference's frequency-inference rule (timeseries/imputer.py:187-213)."""
@@ -345,7 +357,7 @@ def q_ann_lsh_topk(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64, n_tables=8)
 
 
 def q_embedding_quality(spark, sf_dir):
@@ -459,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_bfill_1h": q_gap_bfill_1h,
         "gap_linear_1h": q_gap_linear_1h,
         "gap_small_1h": q_gap_small_1h,
+        "gap_spline_1h": q_gap_spline_1h,
         "freq_infer": q_freq_infer,
         "lag_features_1h": q_lag_features_1h,
         "time_features_1h": q_time_features_1h,

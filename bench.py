@@ -129,11 +129,31 @@ def _queries_worker(cpus: int) -> dict:
     qs = entrymod.queries()
     timings = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            walls.append(time.time() - t0)
+        # headline = steady-state (best of 2): the first run pays one-off
+        # JVM JIT + codegen compilation + cold page cache, 3-6x the real
+        # cost on this VM; the cold value is recorded alongside
+        timings[name] = round(min(walls), 3)
+        timings[f"{name}_cold"] = round(walls[0], 3)
         timings[f"{name}_rows"] = n
+
+    # ANN quality tracked round over round: recall@5 of the LSH top-k
+    # against the exact brute-force top-k on the same queries
+    exact: dict = {}
+    for r in qs["cosine_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann: dict = {}
+    for r in qs["ann_lsh_topk"](spark, SF_DIR).collect():
+        ann.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & ann.get(q, set())) / len(exact[q]) for q in exact if exact[q]
+    ]
+    timings["ann_recall_at_5"] = round(sum(recalls) / max(len(recalls), 1), 3)
     spark.stop()
     return timings
 
@@ -158,23 +178,29 @@ def main() -> None:
                 return json.loads(line[len("BENCH_RESULT ") :])
         raise RuntimeError(f"worker {kind}@{cpus} produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
-    def best_of(kind: str, cpus: int, k: int) -> dict:
-        # the sandbox VM has ±20% run-to-run CPU variance and throttles
-        # after sustained load; cool down between runs and take the best
-        # of k (same input, same code)
-        runs = []
-        for i in range(k):
-            if i:
-                time.sleep(30)
-            runs.append(run_worker(kind, cpus))
-        return min(runs, key=lambda d: d["wall"])
-
     n_low, n_high = N_LOW, N_HIGH
-    # measure the short level first (cold box), cool down, then the long
-    # level; the low level runs ~3-4x longer which already averages noise
-    high = best_of("pipeline", n_high, BENCH_REPEATS)
-    time.sleep(30)
-    low = best_of("pipeline", n_low, 1)
+    # The box throttles under sustained load (±20% run-to-run), so the
+    # two levels are measured ALTERNATING with equal cooldowns before
+    # every run — both levels get the same thermal opportunity — and the
+    # ratio is taken between the per-level bests. Per-iteration pair
+    # efficiencies are reported too, so the spread is visible.
+    runs: dict[int, list[dict]] = {n_low: [], n_high: []}
+    samples = []
+    for i in range(BENCH_REPEATS):
+        for level in (n_low, n_high):
+            if i or level != n_low:
+                time.sleep(120)
+            runs[level].append(run_worker("pipeline", level))
+        samples.append(
+            round(
+                (runs[n_high][i]["points_per_sec"] / runs[n_low][i]["points_per_sec"])
+                / (n_high / n_low),
+                3,
+            )
+        )
+    low = min(runs[n_low], key=lambda d: d["wall"])
+    high = min(runs[n_high], key=lambda d: d["wall"])
+    time.sleep(240)  # cool down: query walls must not be throttle-inflated
     queries = run_worker("queries", CPUS)
 
     speedup = high["points_per_sec"] / low["points_per_sec"]
@@ -185,7 +211,15 @@ def main() -> None:
         "metric": "rollup_pipeline_wall",
         "value": round(high["wall"], 3),
         "unit": "sec",
-        "queries": {k: v for k, v in queries.items() if not k.endswith("_rows")},
+        "queries": {
+            k: v
+            for k, v in queries.items()
+            if not k.endswith(("_rows", "_cold")) and k != "ann_recall_at_5"
+        },
+        "queries_cold_first_run": {
+            k[: -len("_cold")]: v for k, v in queries.items() if k.endswith("_cold")
+        },
+        "ann_recall_at_5": queries.get("ann_recall_at_5"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_docs": BENCH_DOCS,
         "tokens_ingested": high["tokens"],
@@ -198,6 +232,7 @@ def main() -> None:
         f"wall_n{n_high}": round(high["wall"], 3),
         "scaling_speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "scaling_efficiency_samples": samples,
     }
     print(json.dumps(result))
 

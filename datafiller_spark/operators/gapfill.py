@@ -119,3 +119,47 @@ def fill_small_gaps(
         .when(F.col("__run_len") <= max_gap, F.col("__lin"))
         .otherwise(F.col(value_col)),
     ).drop("__run", "__run_len", "__prev_v", "__prev_t", "__next_v", "__next_t", "__lin")
+
+
+def spline_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Natural cubic-spline fill of interior NULL buckets, per series.
+
+    Unlike the window-function fills above, a spline needs the whole
+    series (the tridiagonal solve couples every observed point), so it
+    runs as one ``applyInPandas`` kernel per key group — same shape and
+    determinism guarantees as the ridge fill in ``impute.py`` (rows
+    sorted by bucket inside the kernel). ``max_gap`` restricts filling
+    to NaN runs of at most that many buckets.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    from ..kernels.spline import spline_interpolate
+
+    keys = list(key_cols)
+    out_name = out_col or value_col
+    out_schema = StructType()
+    for k in keys:
+        out_schema.add(df.schema[k])
+    out_schema.add(df.schema[bucket_col])
+    out_schema.add(out_name, "double")
+
+    def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        filled = spline_interpolate(
+            pdf[value_col].astype("float64").reset_index(drop=True), max_gap=max_gap
+        )
+        out = pdf[[*keys, bucket_col]].reset_index(drop=True)
+        out[out_name] = filled
+        return out
+
+    return df.select(*keys, bucket_col, value_col).groupBy(*keys).applyInPandas(
+        fill_group, schema=out_schema
+    )

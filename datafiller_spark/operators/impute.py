@@ -161,6 +161,7 @@ def model_gapfill_encode(
     lags: Sequence[int] = (1, 2, 3, -1, -2, -3),
     min_samples_train: int = 20,
     interpolate_gaps_less_than: int | None = None,
+    use_gram: bool | None = None,
 ) -> DataFrame:
     """Fused gap-fill + Gorilla encode: ONE shuffle and ONE Python stage
     per tier instead of two. The kernel fills the series, then chunks it
@@ -195,6 +196,7 @@ def model_gapfill_encode(
             lags=lags_list,
             min_samples_train=min_samples_train,
             interpolate_gaps_less_than=interpolate_gaps_less_than,
+            use_gram=use_gram,
         )
         try:
             filled = imputer(frame)
@@ -227,6 +229,7 @@ def cascade_gapfill_encode_all(
     lags: Sequence[int] = (1, 2, 3, -1, -2, -3),
     min_samples_train: int = 20,
     interpolate_gaps_less_than: int | None = None,
+    use_gram: bool | None = None,
 ) -> DataFrame:
     """One shuffle for the whole per-series tier chain.
 
@@ -271,6 +274,7 @@ def cascade_gapfill_encode_all(
                 lags=lags_list,
                 min_samples_train=min_samples_train,
                 interpolate_gaps_less_than=interpolate_gaps_less_than,
+                use_gram=use_gram,
             )
             try:
                 filled = imputer(frame)

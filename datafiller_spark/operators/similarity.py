@@ -91,9 +91,18 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int | None = None,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucketed candidates (multi-probe
-    Hamming ≤ 1), exact cosine re-rank inside buckets.
+    """Approximate top-k: hyperplane-bucketed candidates, exact cosine
+    re-rank inside buckets.
+
+    Standard multi-table LSH: ``n_tables`` independent sets of
+    ``n_planes`` hyperplanes; a corpus vector is a candidate if it shares
+    a (table, bucket) with the query in ANY table, with multi-probe
+    (Hamming ≤ 1) flips on the query side. One table with few planes
+    either prunes nothing or misses most true neighbors; tables
+    multiply recall while candidate volume stays
+    ~``n_tables · (n_planes+1) / 2^n_planes`` of the corpus.
 
     ``dim`` (the embedding width) is required: inferring it would cost a
     driver-side action on the corpus before the plan is even built.
@@ -103,23 +112,29 @@ def lsh_topk(
             "lsh_topk requires dim (embedding width); inferring it would "
             "trigger a driver-side scan of the corpus."
         )
-    planes = _hyperplanes(dim, n_planes)
+    tables = [_hyperplanes(dim, n_planes, seed=17 + 31 * t) for t in range(n_tables)]
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
-        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(
+            F.array(*[_bucket_expr(F.col(vec_col), planes) for planes in tables])
+        ).alias("table", "bucket"),
     )
-    base_bucket = _bucket_expr(F.col(vec_col), planes)
-    probes = F.array(
-        F.lit(0), *[F.lit(1 << i) for i in range(n_planes)]
-    )  # exact bucket + all Hamming-1 neighbors
+    probes = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
+
+    def _probe_buckets(planes):
+        base = _bucket_expr(F.col(vec_col), planes)
+        return F.transform(probes, lambda m: base.bitwiseXOR(m))
+
     queries = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
-        F.explode(F.transform(probes, lambda m: base_bucket.bitwiseXOR(m))).alias("bucket"),
-    )
-    scored = corpus.join(F.broadcast(queries), "bucket").where(
+        F.posexplode(F.array(*[_probe_buckets(planes) for planes in tables])).alias(
+            "table", "buckets"
+        ),
+    ).select("query_id", "__q", "table", F.explode("buckets").alias("bucket"))
+    scored = corpus.join(F.broadcast(queries), ["table", "bucket"]).where(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = scored.select(
