@@ -122,7 +122,10 @@ def decode_dataframe(codec: FrameCodec, x_imputed: np.ndarray) -> pd.DataFrame:
                     ),
                     index=codec.index,
                 )
-            elif is_string_dtype(dtype):
+            elif isinstance(dtype, pd.StringDtype):
+                # NOT is_string_dtype: that is also True for plain object
+                # columns, whose labels may be non-string (e.g. shifted
+                # bools) and must stay object
                 series = pd.Series(decoded, index=codec.index, dtype="string")
             else:
                 series = pd.Series(decoded, index=codec.index)

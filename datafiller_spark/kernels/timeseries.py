@@ -109,6 +109,80 @@ class TimeSeriesImputer:
         #: reference's 3-step training policy (docs/algorithm.rst:22-32)
         self.fill_counts_: dict[str, int] = {"interp": 0, "model": 0, "fallback": 0}
 
+    def _impute_mixed(
+        self,
+        df: pd.DataFrame,
+        rows_to_impute,
+        cols_to_impute,
+        n_nearest_features,
+        before,
+        after,
+        n_interp: int = 0,
+    ) -> pd.DataFrame:
+        """Mixed numeric/categorical frame (T7): the same feature layout
+        as the numeric fast path — original columns, lag/lead copies,
+        calendar features — built as a pandas frame so the multivariate
+        one-hot codec applies to lagged categorical features too
+        (reference timeseries/imputer.py:351-433)."""
+        original_cols = df.columns
+        frames = [df]
+        for lag in self.lags:
+            shifted = df.shift(lag)
+            shifted.columns = pd.Index([f"{c}_lag_{lag}" for c in original_cols])
+            frames.append(shifted)
+        if self.add_time_features:
+            reserved = [name for frame in frames for name in frame.columns]
+            frames.append(make_time_features(df.index, reserved_names=reserved))
+        feature_df = pd.concat(frames, axis=1)
+        if not feature_df.columns.is_unique:
+            duplicated = feature_df.columns[feature_df.columns.duplicated()].unique().tolist()
+            raise EngineValueError(
+                f"Column names collide with generated lag feature names: {duplicated}. "
+                "Rename the offending columns before imputation."
+            )
+        # drop generated features with no observed value; originals kept
+        keep = feature_df.notna().any(axis=0)
+        keep[original_cols] = True
+        feature_df = feature_df.loc[:, keep]
+
+        if cols_to_impute is None:
+            target_names = list(original_cols)
+        else:
+            if isinstance(cols_to_impute, (int, str)):
+                cols_to_impute = [cols_to_impute]
+            target_names = []
+            for c in cols_to_impute:
+                if isinstance(c, int):
+                    target_names.append(original_cols[c])
+                elif isinstance(c, str):
+                    target_names.append(c)
+                else:
+                    raise EngineValueError("cols_to_impute entries must be int or str.")
+
+        if rows_to_impute is not None:
+            if isinstance(rows_to_impute, (pd.DatetimeIndex, pd.TimedeltaIndex, pd.PeriodIndex)):
+                rows_to_impute = df.index.get_indexer(rows_to_impute)
+            elif isinstance(rows_to_impute, int):
+                rows_to_impute = [rows_to_impute]
+        elif before is not None or after is not None:
+            mask = pd.Series(True, index=df.index)
+            if before is not None:
+                mask &= df.index < pd.to_datetime(str(before))
+            if after is not None:
+                mask &= df.index > pd.to_datetime(str(after))
+            rows_to_impute = np.where(mask)[0]
+
+        imputed = self.multivariate_imputer(
+            feature_df,
+            rows_to_impute=rows_to_impute,
+            cols_to_impute=target_names,
+            n_nearest_features=n_nearest_features,
+        )
+        self.imputation_features_ = self.multivariate_imputer.imputation_features_
+        mv_counts = self.multivariate_imputer.fill_counts_
+        self.fill_counts_ = {"interp": n_interp, **mv_counts}
+        return imputed[original_cols]
+
     # -- sklearn-style surface (reference timeseries/imputer.py:141-170) ----
 
     def fit(self, X, y=None) -> "TimeSeriesImputer":
@@ -154,13 +228,25 @@ class TimeSeriesImputer:
             raise EngineTypeError("Input must be a pandas DataFrame.")
         df = regularize_index(df)
 
+        from pandas.api.types import is_bool_dtype, is_numeric_dtype
+
+        numeric_cols = [
+            c for c in df.columns if is_numeric_dtype(df[c]) and not is_bool_dtype(df[c])
+        ]
+        mixed = len(numeric_cols) < len(df.columns)
+
         n_interp = 0
         if self.interpolate_gaps_less_than is not None:
             df = df.copy()
-            before_nan = int(df.isna().sum().sum())
-            for col in df.columns:
+            before_nan = int(df[numeric_cols].isna().sum().sum())
+            for col in numeric_cols:
                 df[col] = interpolate_small_gaps(df[col], self.interpolate_gaps_less_than)
-            n_interp = before_nan - int(df.isna().sum().sum())
+            n_interp = before_nan - int(df[numeric_cols].isna().sum().sum())
+
+        if mixed:
+            return self._impute_mixed(
+                df, rows_to_impute, cols_to_impute, n_nearest_features, before, after, n_interp
+            )
 
         original_cols = df.columns
         n_original = len(original_cols)

@@ -116,3 +116,67 @@ def test_sklearn_surface_fit_transform_set_params():
     tsi.set_params(lags=(1, 2), interpolate_gaps_less_than=3)
     assert tsi.lags == [1, 2]
     assert tsi.multivariate_imputer.min_samples_train == 5  # carried through
+
+
+def _mixed_ts_frame(n=200):
+    """Reference tests/test_timeseries.py:95-112 fixture shape."""
+    rng = np.random.default_rng(0)
+    index = pd.date_range("2020-01-01", periods=n, freq="h")
+    values = np.sin(2 * np.pi * np.arange(n) / 24) + 0.05 * rng.normal(size=n)
+    labels = np.where(values > 0, "high", "low")
+    df = pd.DataFrame(
+        {
+            "value": values,
+            "level": pd.Categorical(labels, categories=["low", "high"]),
+        },
+        index=index,
+    )
+    df.loc[index[10:14], "value"] = np.nan
+    df.loc[index[50:60], "level"] = np.nan
+    df.loc[index[100], ["value", "level"]] = np.nan
+    return df
+
+
+def test_tsi_mixed_categorical_columns():
+    df = _mixed_ts_frame()
+    out = TimeSeriesImputer(lags=[1, 2, -1, -2])(df)
+    assert list(out.columns) == ["value", "level"]
+    assert out.shape == df.shape
+    assert isinstance(out["level"].dtype, pd.CategoricalDtype)
+    assert list(out["level"].cat.categories) == ["low", "high"]
+    assert not out.isna().any().any()
+    # predictions track the signal, not just the mode (reference bound)
+    filled = out.loc[df.index[50:60], "level"]
+    expected = np.where(out.loc[df.index[50:60], "value"] > 0, "high", "low")
+    assert (filled.to_numpy().astype(str) == expected).mean() >= 0.8
+    # observed cells pass through bit-exactly
+    obs = df["value"].notna()
+    assert (out.loc[obs, "value"] == df.loc[obs, "value"]).all()
+
+
+def test_tsi_mixed_bool_and_object_columns():
+    df = _mixed_ts_frame()
+    df["flag"] = df["value"].fillna(0) > 0.2
+    df["tag"] = np.where(df["value"].fillna(0) > 0, "pos", "neg")
+    df.loc[df.index[30:35], "tag"] = None
+    out = TimeSeriesImputer(lags=[1, -1])(df)
+    assert str(out["flag"].dtype) == "boolean"
+    assert out["tag"].isna().sum() == 0
+
+
+def test_tsi_mixed_name_collision_raises():
+    from datafiller_spark.exceptions import EngineValueError
+
+    df = _mixed_ts_frame()
+    df["value_lag_1"] = pd.Categorical(["low"] * len(df), categories=["low", "high"])
+    with pytest.raises(EngineValueError):
+        TimeSeriesImputer(lags=[1])(df)
+
+
+def test_tsi_mixed_targeting_and_interp():
+    df = _mixed_ts_frame()
+    out = TimeSeriesImputer(lags=[1, -1], interpolate_gaps_less_than=6)(
+        df, cols_to_impute=["value"]
+    )
+    assert out["value"].isna().sum() == 0
+    assert out["level"].isna().sum() == df["level"].isna().sum()  # untargeted
