@@ -360,6 +360,47 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64, n_tables=8)
 
 
+def q_embedding_near_dupes(spark, sf_dir):
+    """Cosine-threshold near-duplicate pairs over embeddings (the
+    embedding leg of the dedup menu). Exact verifier form; at scale it
+    runs per LSH bucket (operators/similarity.py docstring)."""
+    from datafiller_spark.operators import embedding_near_dupes
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_near_dupes(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def q_token_bigrams(spark, sf_dir):
+    """Top-100 token bigrams by count — n-gram statistics over the
+    token arrays themselves (array ops stay JVM-side: transform +
+    element_at + explode, no Python)."""
+    tok = tokenized_sequences(spark, sf_dir)
+    idx = F.sequence(F.lit(0), F.size("tokens") - 2)
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("tokens", i + 1).alias("t1"),
+                F.element_at("tokens", i + 2).alias("t2"),
+            ),
+        ),
+    )
+    counts = (
+        tok.select(F.explode(bigrams).alias("bg"))
+        .groupBy(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select("t1", "t2", "n", "rank")
+    )
+
+
 def q_embedding_quality(spark, sf_dir):
     """Per-label embedding stats: counts + rounded norms."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -489,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dupes": q_embedding_near_dupes,
+        "token_bigrams": q_token_bigrams,
         "embedding_quality": q_embedding_quality,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -802,6 +845,36 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+    sql["embedding_near_dupes"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+    sql["token_bigrams"] = """
+WITH words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(str_split_regex(trim(text), '\\s+')) AS w,
+         generate_subscripts(str_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647 AS INTEGER) AS token
+  FROM words
+),
+big AS (
+  SELECT a.token AS t1, b.token AS t2, count(*) AS n
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT t1, t2, n, row_number() OVER (ORDER BY n DESC, t1 ASC, t2 ASC) AS rank
+  FROM big
+)
+SELECT t1, t2, n, rank FROM ranked WHERE rank <= 100
 """
     sql["embedding_quality"] = """
 WITH norms AS (
