@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale claims, checked structurally.
+
+These pin the properties that matter at 100 TB — shuffles that must not
+exist, pushdown/pruning that must — so a refactor that silently
+reintroduces an exchange or a single-task funnel fails CI, not the
+cluster. Plans come from the executed-plan string (AQE initial plan; the
+structural operators asserted here are not runtime-dependent).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafiller_spark.operators import minhash_signatures, rollup
+from datafiller_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_minhash_signatures_are_shuffle_free(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=32)
+    plan = _plan(sig)
+    assert "Exchange" not in plan, "MinHash signatures must not shuffle (per-row array math)"
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan, (
+        "MinHash signatures must stay JVM-side"
+    )
+
+
+def test_feature_scores_has_no_single_task_funnel(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_feature_scores(spark, sf_dir)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" not in plan, "scores must come from aggregates, not one pandas task"
+    # the only single-partition exchange allowed is the scalar
+    # countDistinct(bucket) final aggregate (one row, then broadcast) —
+    # no DATA stage may funnel the matrix through one partition
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_rollup_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    t = rollup(events.where(F.col("event_type") == "click"), ["event_type"], "ts", "value", "1m")
+    plan = _plan(t)
+    # column pruning: the scan reads only the 3 referenced columns
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "event_type" in read_schema and "ts" in read_schema and "value" in read_schema
+    for unused in ("event_id", "user_id"):
+        assert unused not in read_schema, f"scan must not read {unused}"
+    # predicate pushdown reaches the parquet reader
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters:")[-1].splitlines()[0]
+
+
+def test_rollup_is_partial_then_final_aggregate(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    t = rollup(events, ["event_type"], "ts", "value", "1m")
+    plan = _plan(t)
+    # map-side partial aggregation before the exchange: exactly one
+    # shuffle, carrying partial rows rather than raw rows
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_broadcast_join_for_small_dims(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_join_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        "customer/nation dims must broadcast, not shuffle-join"
+    )
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_cosine_topk(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan, "dot products must stay JVM-side"
+
+
+def test_asof_join_is_one_shuffle_no_range_explosion(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_asof_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan, "asof = union + carry-forward window, not a range join"
