@@ -230,6 +230,34 @@ def q_model_gapfill_1h(spark, sf_dir):
     return filled.select("event_type", "bucket", F.round("avg_value", 6).alias("avg_value"))
 
 
+def q_model_gapfill_elm_1h(spark, sf_dir):
+    """Ridge gap-fill swapped for the ExtremeLearningMachine regressor
+    (random-projection + ReLU + ridge, seeded — the reference's optional
+    estimator). Rows-only: model-based."""
+    from datafiller_spark.kernels import ExtremeLearningMachine
+
+    t = _events_tier(spark, sf_dir, "1h")
+    filled = model_gapfill(
+        t,
+        ["event_type"],
+        "bucket",
+        ["avg_value"],
+        lags=(1, 2, -1, -2),
+        min_samples_train=20,
+        regressor_factory=lambda: ExtremeLearningMachine(n_features=50, random_state=0),
+    )
+    return filled.select("event_type", "bucket", F.round("avg_value", 6).alias("avg_value"))
+
+
+def q_simhash_near(spark, sf_dir):
+    """SimHash near-duplicates within Hamming ≤ 3 via pigeonhole banding
+    (rows-only: hash-based)."""
+    from datafiller_spark.operators import simhash_near_dupes
+
+    tok = tokenized_sequences(spark, sf_dir)
+    return simhash_near_dupes(tok, "doc_id", "tokens", max_hamming=3)
+
+
 def q_feature_scores(spark, sf_dir):
     """Imputation feature scores (shared-observation fraction × |corr| of
     the mean-pre-imputed series, reference multivariate/_scoring.py:15-55)
@@ -518,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_features_1h": q_time_features_1h,
         "codec_roundtrip_1h": q_codec_roundtrip_1h,
         "model_gapfill_1h": q_model_gapfill_1h,
+        "model_gapfill_elm_1h": q_model_gapfill_elm_1h,
         "gapfill_metrics": q_gapfill_metrics,
         "feature_scores": q_feature_scores,
         "tokens_meta": q_tokens_meta,
@@ -528,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dupes": q_embedding_near_dupes,

@@ -10,6 +10,7 @@ from .dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     simhash_duplicates,
+    simhash_near_dupes,
 )
 from .similarity import cosine_topk, lsh_topk, embedding_near_dupes
 from .asof import asof_join
@@ -43,6 +44,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_duplicates",
+    "simhash_near_dupes",
     "cosine_topk",
     "lsh_topk",
     "embedding_near_dupes",

@@ -254,3 +254,62 @@ def simhash_duplicates(
     return sigs.join(groups.where(F.col("group_size") > 1), "simhash").select(
         "simhash", "group_size", F.col(id_col), "canonical_id"
     )
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_hamming: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits of each other's 64-bit SimHash.
+
+    Pigeonhole banding: split the signature into ``max_hamming + 1``
+    bands — two signatures within ``max_hamming`` bits MUST agree on at
+    least one whole band, so candidates come from a band-equality
+    self-join (one shuffle on (band, value), never all-pairs) and the
+    exact Hamming distance verifies each candidate via ``bit_count``
+    (JVM-side). Hot band buckets are capped like MinHash-LSH.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = df.select(F.col(id_col).alias("id"), _simhash64(F.col(tokens_col)).alias("simhash"))
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1 if (b + 1) * width <= 64 else -1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("id", "simhash", F.posexplode(band_vals).alias("band", "val"))
+    bucket_w = Window.partitionBy("band", "val")
+    banded = (
+        banded.withColumn("__bs", F.count("*").over(bucket_w))
+        .where(F.col("__bs") <= max_bucket_size)
+        .drop("__bs")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("__sa"),
+            F.col("y.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -36,8 +36,11 @@ def model_gapfill(
     n_nearest_features: int | float | None = None,
     add_time_features: bool = True,
     use_gram: bool | None = None,
+    regressor_factory=None,
 ) -> DataFrame:
-    """Gap-fill ``value_cols`` per key group with the ridge kernel.
+    """Gap-fill ``value_cols`` per key group with the ridge kernel (or a
+    custom regressor built per group by ``regressor_factory`` — e.g. the
+    ExtremeLearningMachine; the factory must be picklable).
 
     Input rows may be sparse (missing buckets) — the kernel reinserts
     the full regular grid, so the output generally has MORE rows than
@@ -66,6 +69,7 @@ def model_gapfill(
         )
         imputer = TimeSeriesImputer(
             lags=lags_list,
+            regressor=regressor_factory() if regressor_factory is not None else None,
             min_samples_train=min_samples_train,
             interpolate_gaps_less_than=interpolate_gaps_less_than,
             add_time_features=add_time_features,

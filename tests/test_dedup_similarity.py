@@ -152,3 +152,27 @@ def test_minhash_hot_bucket_cap(spark):
         max_bucket_size=10_000,
     )
     assert uncapped.where((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() == 100 * 99 / 2
+
+
+def test_simhash_near_dupes_hamming(spark):
+    """Pigeonhole banding finds pairs within max_hamming bits and the
+    bit_count verifier rejects everything farther."""
+    from datafiller_spark.operators import simhash_near_dupes
+
+    base = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    rows = [
+        ("a", base),
+        ("b", base),                      # identical → hamming 0
+        ("c", base[:-1] + [9999]),        # one token swapped → small hamming
+        ("d", [100 + i * 37 for i in range(12)]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dupes(df, max_hamming=16).collect()}
+    assert out[("a", "b")] == 0
+    assert ("a", "c") in out and 0 < out[("a", "c")] <= 16
+    assert not any("d" in p for p in out)
+    # tight threshold drops the swapped-token pair if it exceeds it
+    tight = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dupes(df, max_hamming=1).collect()}
+    assert tight.get(("a", "b")) == 0
+    assert all(h <= 1 for h in tight.values())
