@@ -421,12 +421,12 @@ def q_token_bigrams(spark, sf_dir):
         .groupBy(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
         .agg(F.count("*").alias("n"))
     )
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, no single-partition shuffle of the full count table); the
+    # rank window then runs over the 100 survivors only
+    top = counts.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 100)
-        .select("t1", "t2", "n", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("t1", "t2", "n", "rank")
 
 
 def q_embedding_quality(spark, sf_dir):
