@@ -388,6 +388,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64, n_tables=8)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (second ANN scale path besides LSH):
+    inverted lists under k-means coarse centroids trained on a bounded
+    seeded sample, nprobe-list probing, exact cosine re-rank.
+    Rows-only: approximate."""
+    from datafiller_spark.operators import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_clusters=16, nprobe=4, dim=64)
+
+
 def q_embedding_near_dupes(spark, sf_dir):
     """Cosine-threshold near-duplicate pairs over embeddings (the
     embedding leg of the dedup menu). Exact verifier form; at scale it
@@ -560,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "token_bigrams": q_token_bigrams,
         "embedding_quality": q_embedding_quality,

@@ -12,7 +12,7 @@ from .dedup import (
     simhash_duplicates,
     simhash_near_dupes,
 )
-from .similarity import cosine_topk, lsh_topk, embedding_near_dupes
+from .similarity import cosine_topk, lsh_topk, ivf_topk, train_ivf_centroids, embedding_near_dupes
 from .asof import asof_join
 from .multimodal import extract_features, sample_frames
 
@@ -47,6 +47,8 @@ __all__ = [
     "simhash_near_dupes",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
+    "train_ivf_centroids",
     "embedding_near_dupes",
     "asof_join",
     "extract_features",

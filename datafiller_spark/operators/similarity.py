@@ -173,3 +173,114 @@ def embedding_near_dupes(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    dim: int,
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    seed: int = 29,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a seeded, bounded sample.
+
+    The sample collect is O(sample_size × dim) — bounded regardless of
+    corpus size, the standard IVF training recipe. Deterministic: seeded
+    sample, seeded init, fixed Lloyd iterations on L2-normalized vectors
+    (so nearest-centroid == highest cosine). Returns (k, dim) float64.
+    """
+    # seeded hash order + limit plans as TakeOrderedAndProject: one scan
+    # with per-partition size-k heaps, no global sort, no full collect
+    sample = (
+        df.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def _nearest_clusters_expr(vec_col, centroids: np.ndarray, top: int):
+    """Column expr: array of the ``top`` nearest centroid ids (by dot
+    product on normalized centroids) — pure built-ins, no Python."""
+    sims = F.array(
+        *[
+            _dot(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in centroid]),
+            )
+            / _norm(vec_col)
+            for centroid in centroids
+        ]
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    ranked = F.reverse(F.array_sort(pairs))
+    return F.transform(F.slice(ranked, 1, top), lambda p: p["i"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest coarse centroid; each query probes its ``nprobe``
+    nearest lists and exact cosine re-ranks the candidates.
+
+    Candidate volume ≈ ``nprobe / n_clusters`` of the corpus. Pass
+    pre-trained ``centroids`` to skip training (e.g. reuse across
+    batches); otherwise a bounded seeded sample trains them.
+    """
+    if dim is None:
+        raise ValueError("ivf_topk requires dim (embedding width).")
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_clusters, dim)
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        _nearest_clusters_expr(F.col(vec_col), centroids, 1)[0].alias("cluster"),
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        F.explode(_nearest_clusters_expr(F.col(vec_col), centroids, nprobe)).alias("cluster"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__q"), F.col("__v")) / (_norm(F.col("__q")) * _norm(F.col("__v"))), 6
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

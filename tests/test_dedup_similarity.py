@@ -176,3 +176,34 @@ def test_simhash_near_dupes_hamming(spark):
              for r in simhash_near_dupes(df, max_hamming=1).collect()}
     assert tight.get(("a", "b")) == 0
     assert all(h <= 1 for h in tight.values())
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF with clustered vectors: high recall vs exact, deterministic
+    across runs, and requires dim."""
+    from datafiller_spark.operators import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 16)) * 4
+    rows = []
+    for i in range(300):
+        c = i % 6
+        rows.append((i, (centers[c] + rng.normal(size=16) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") < 8)
+
+    exact = {}
+    for r in cosine_topk(df, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    out1 = ivf_topk(df, queries, k=5, n_clusters=8, nprobe=2, dim=16).collect()
+    for r in out1:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact) / len(exact)
+    assert recall >= 0.9
+
+    out2 = ivf_topk(df, queries, k=5, n_clusters=8, nprobe=2, dim=16).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    with pytest.raises(ValueError):
+        ivf_topk(df, queries, k=5)
