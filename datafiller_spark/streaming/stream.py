@@ -91,3 +91,72 @@ def start_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_tier_pipeline_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    query_name: str = "tier_pipeline_stream",
+):
+    """Continuous aggregate end-to-end: stream → finalized tier windows →
+    MERGE into the persisted tier → re-encode exactly the Gorilla chunks
+    the batch touched.
+
+    ``foreachBatch`` receives only windows the watermark finalized, so
+    every micro-batch is an incremental tier delta; the merge-write
+    (plans/pipeline.py) replaces rows sharing (key, bucket) and keeps
+    everything else, and chunk re-encoding is scoped to the touched
+    (key, chunk_start) set via a broadcast semi-join — per-batch work is
+    proportional to the DELTA, not the table, which is what keeps a
+    year-long stream cheap.
+    """
+    import os
+
+    from ..operators.bucket import time_bucket
+    from ..operators.encode import _CHUNK_UNIT, encode_tier
+    from ..plans.pipeline import _merge_write
+
+    keys = list(key_cols)
+    tier_path = os.path.join(output_dir, f"tier={tier}")
+    chunk_path = os.path.join(output_dir, f"chunks_tier={tier}")
+    chunk_unit = _CHUNK_UNIT[tier]
+
+    rolled = streaming_rollup(stream, keys, ts_col, value_col, tier, watermark)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.cache()
+        _merge_write(
+            spark, batch_df, tier_path, merge_keys=keys + ["bucket"],
+            partition_by=keys[:1], merge=True,
+        )
+        touched = batch_df.select(
+            *keys, F.date_trunc(chunk_unit, F.col("bucket")).alias("chunk_start")
+        ).distinct()
+        tier_df = spark.read.parquet(tier_path)
+        affected = tier_df.withColumn(
+            "chunk_start", F.date_trunc(chunk_unit, F.col("bucket"))
+        ).join(F.broadcast(touched), on=keys + ["chunk_start"], how="left_semi").drop(
+            "chunk_start"
+        )
+        enc = encode_tier(affected, keys, "bucket", "avg_value", tier)
+        _merge_write(
+            spark, enc, chunk_path, merge_keys=keys + ["chunk_start"], merge=True
+        )
+
+    return (
+        rolled.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -36,3 +36,62 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     s = sorted((r.event_type, r.bucket, r.n_points, round(r.sum_value, 6)) for r in streamed)
     b = sorted((r.event_type, r.bucket, r.n_points, round(r.sum_value, 6)) for r in batch)
     assert s == b
+
+
+def test_streaming_tier_pipeline_end_to_end(spark, tmp_path):
+    """Two incremental stream runs → persisted tier + re-encoded chunks
+    must equal a single-shot batch rollup of everything (the continuous
+    aggregate contract, decoded from the Gorilla payloads)."""
+    import datetime
+
+    from datafiller_spark.operators import decode_tier, rollup
+    from datafiller_spark.streaming import start_tier_pipeline_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "source string, event_ts timestamp, n_tok int"
+
+    def rows(lo, hi):
+        out = []
+        for m in range(lo, hi):
+            for s in ("a", "b"):
+                out.append((s, base + datetime.timedelta(minutes=m, seconds=30), m + 1))
+        return out
+
+    src = tmp_path / "src"
+    out = tmp_path / "warehouse"
+    ckpt = tmp_path / "ckpt"
+    spark.createDataFrame(rows(0, 40), schema).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_tier_pipeline_stream(
+            stream, ["source"], "event_ts", "n_tok",
+            output_dir=str(out), checkpoint_dir=str(ckpt), watermark="5 minutes",
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second increment arrives later; the stream checkpoint resumes
+    spark.createDataFrame(rows(40, 70), schema).write.mode("append").parquet(str(src))
+    run_once()
+
+    batch = rollup(
+        spark.createDataFrame(rows(0, 70), schema), ["source"], "event_ts", "n_tok", "1m"
+    )
+    persisted = spark.read.parquet(str(out / "tier=1m"))
+    # the watermark holds back the trailing open windows; everything the
+    # stream finalized must match the batch rollup exactly
+    a = {(r.source, r.bucket): (r.n_points, r.sum_value) for r in persisted.collect()}
+    b = {(r.source, r.bucket): (r.n_points, r.sum_value) for r in batch.collect()}
+    assert len(a) >= 0.8 * len(b)
+    for key, vals in a.items():
+        assert b[key] == vals
+
+    # decoded chunks reproduce the persisted tier's avg values bit-exactly
+    chunks = spark.read.parquet(str(out / "chunks_tier=1m"))
+    decoded = {
+        (r.source, r.bucket): r.value
+        for r in decode_tier(chunks, ["source"], "bucket", "value").collect()
+    }
+    for (src_key, bucket), (n, s) in a.items():
+        assert decoded[(src_key, bucket)] == s / n
