@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .optimask import unique_bool_rows
 from .ridge import ridge_from_gram
 
 #: cached per-group Gram memory ceiling (reference parity: _gram.py:29)
@@ -91,10 +92,9 @@ class GramSolver:
 
         nan_rows = np.flatnonzero(row_has_nan)
         if nan_rows.size:
-            patterns, inverse, counts = np.unique(
-                self._mask[nan_rows], axis=0, return_inverse=True, return_counts=True
-            )
+            patterns, inverse = unique_bool_rows(self._mask[nan_rows])
             inverse = inverse.ravel()
+            counts = np.bincount(inverse, minlength=len(patterns))
             max_groups = max(1, budget_bytes // (width * width * 8))
             kept = np.flatnonzero(counts >= 2)
             if len(kept) > max_groups:

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..exceptions import EngineTypeError, EngineValueError
 from .gram import GramSolver
-from .optimask import optimask
+from .optimask import optimask, unique_bool_rows
 from .ridge import FastRidge
 from .scoring import score_features
 
@@ -256,7 +256,7 @@ class MultivariateImputer:
         m_local, k_local = local_train.shape
 
         observed_patterns = ~np.isnan(local_predict)
-        patterns, inverse = np.unique(observed_patterns, axis=0, return_inverse=True)
+        patterns, inverse = unique_bool_rows(observed_patterns)
 
         solver = (
             GramSolver(local_train, local_target) if self.use_gram and len(patterns) else None

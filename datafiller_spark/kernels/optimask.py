@@ -23,6 +23,28 @@ def _compress_first_appearance(index: np.ndarray) -> tuple[np.ndarray, np.ndarra
 
     Returns (original_values_in_first_appearance_order, relabeled_index).
     """
+    if len(index) == 0:
+        return index.astype(np.uint32, copy=True), np.zeros(0, dtype=np.int64)
+    if np.all(index[1:] >= index[:-1]):
+        # sorted input (iy from np.nonzero always is): first-appearance
+        # order == ascending order, so unique/inverse reduce to a flag
+        # diff + cumsum — no argsort. Identical output to the general path.
+        first = np.empty(len(index), dtype=bool)
+        first[0] = True
+        np.not_equal(index[1:], index[:-1], out=first[1:])
+        return index[first].astype(np.uint32, copy=False), np.cumsum(first) - 1
+    vmax = int(index.max())
+    if vmax < (1 << 22):
+        # dense-id fast path (column ids always are): first-occurrence
+        # positions via one reversed scatter, no O(n log n) unique
+        first_pos = np.full(vmax + 1, -1, dtype=np.int64)
+        first_pos[index[::-1]] = np.arange(len(index) - 1, -1, -1)
+        vals = np.flatnonzero(first_pos >= 0)
+        order = np.argsort(first_pos[vals], kind="stable")  # k-sized sort
+        uniq = vals[order]
+        rank = np.empty(vmax + 1, dtype=np.int64)
+        rank[uniq] = np.arange(len(uniq))
+        return uniq.astype(np.uint32, copy=False), rank[index]
     uniq, first_pos, inverse = np.unique(index, return_index=True, return_inverse=True)
     appearance = np.argsort(first_pos, kind="stable")
     rank = np.empty(len(uniq), dtype=np.int64)
@@ -73,8 +95,10 @@ def _keep(index: np.ndarray, with_nan: np.ndarray, perm: np.ndarray, split: int)
     if split == 0:
         return index.astype(np.uint32, copy=True)
     excluded = with_nan[perm[:split]]
-    mask = np.isin(index, excluded, invert=True)
-    return index[mask].astype(np.uint32, copy=False)
+    # O(n) boolean lookup over the id space instead of np.isin's sort
+    lut = np.zeros(int(max(index.max(), excluded.max())) + 1, dtype=bool)
+    lut[excluded] = True
+    return index[~lut[index]].astype(np.uint32, copy=False)
 
 
 def optimask(
@@ -132,3 +156,23 @@ def optimask(
     cols_keep = _keep(np.asarray(cols), col_ids_nan, p_cols, i0)
     rows_keep = _keep(np.asarray(rows), row_ids_nan, p_rows, j0)
     return rows_keep, cols_keep
+
+
+def unique_bool_rows(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(mat, axis=0, return_inverse=True) for boolean matrices,
+    via 64-bit packing when the width allows (the reference's own
+    single-word shortcut, _gram.py:199-206): uniquing packed integers is
+    ~10x faster than the void-view lexicographic row sort. Pattern ORDER
+    differs from the axis=0 form (integer vs lexicographic order) —
+    callers must not depend on it; per-pattern work is order-free.
+    """
+    m, k = mat.shape
+    if k == 0 or m == 0:
+        return np.unique(mat, axis=0, return_inverse=True)
+    if k <= 64:
+        weights = np.uint64(1) << np.arange(k, dtype=np.uint64)
+        packed = (mat.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        uniq, inverse = np.unique(packed, return_inverse=True)
+        patterns = ((uniq[:, None] >> np.arange(k, dtype=np.uint64)) & np.uint64(1)).astype(bool)
+        return patterns, inverse
+    return np.unique(mat, axis=0, return_inverse=True)
