@@ -36,7 +36,10 @@ BENCH_SPAN = int(os.environ.get("SPARK_GRAFT_BENCH_SPAN", "5760"))
 # override with SPARK_GRAFT_BENCH_N_LOW/N_HIGH.
 N_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_N_HIGH", "4"))
 N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_N_LOW", str(max(N_HIGH // 4, 1))))
-BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# 1 alternating (low, high) pair by default keeps the whole bench under
+# ~10 minutes (the cooldowns are the cost of a fair thermal comparison);
+# set 2-3 for a multi-sample campaign
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 
 HEADLINE = [
     "rollup_1m",
@@ -200,7 +203,7 @@ def main() -> None:
         )
     low = min(runs[n_low], key=lambda d: d["wall"])
     high = min(runs[n_high], key=lambda d: d["wall"])
-    time.sleep(240)  # cool down: query walls must not be throttle-inflated
+    time.sleep(180)  # cool down: query walls must not be throttle-inflated
     queries = run_worker("queries", CPUS)
 
     speedup = high["points_per_sec"] / low["points_per_sec"]
