@@ -109,6 +109,38 @@ def _merge_write(
         _write(df, path)
 
 
+def _commit_snapshot(
+    spark: SparkSession, output_dir: str, counters: dict, resume: bool
+) -> str:
+    """Append one commit row to the warehouse's snapshot log — the
+    parquet stand-in for Iceberg's snapshot chain: id, parent id, the
+    run's counters, and whether it was incremental. Read it back with
+    :func:`read_snapshots`; the parent chain is the audit trail a resume
+    or a re-rollup anchors to."""
+    import json
+    import time as _time
+    import uuid
+
+    path = os.path.join(output_dir, "_snapshots")
+    parent = None
+    if os.path.exists(path):
+        prior = spark.read.parquet(path).orderBy(F.desc("committed_at")).limit(1).collect()
+        parent = prior[0]["snapshot_id"] if prior else None
+    snapshot_id = str(uuid.uuid4())
+    spark.createDataFrame(
+        [(snapshot_id, parent, bool(resume), float(_time.time()), json.dumps(counters))],
+        "snapshot_id string, parent_id string, resume boolean, committed_at double, counters string",
+    ).coalesce(1).write.mode("append").parquet(path)
+    return snapshot_id
+
+
+def read_snapshots(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The warehouse's commit log, newest first."""
+    return spark.read.parquet(os.path.join(output_dir, "_snapshots")).orderBy(
+        F.desc("committed_at")
+    )
+
+
 def _lineage(df: DataFrame, tier: str, key_cols: list[str]) -> DataFrame:
     return (
         df.withColumn("__pid", F.spark_partition_id())
@@ -205,6 +237,7 @@ def run_pipeline(
             total_points += counters[f"tier_{tier}_points"]
         if output_dir:
             write_high_water(t1m, keys, output_dir, prior=prior_hw)
+            _commit_snapshot(spark, output_dir, counters, resume)
         return PipelineResult(
             tiers=tiers,
             filled={},
@@ -347,6 +380,7 @@ def run_pipeline(
         if lineage is not None:
             lineage.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage"))
         write_high_water(t1m, keys, output_dir, prior=prior_hw)
+        _commit_snapshot(spark, output_dir, counters, resume)
 
     return PipelineResult(
         tiers=tiers,

@@ -141,3 +141,64 @@ def test_retention(spark, seqs, tmp_path):
     kept = apply_retention(spark, out, "1m", keep_after)
     assert 0 < kept < before
     assert spark.read.parquet(path).agg(F.min("bucket")).first()[0] >= keep_after
+
+
+def test_resume_heals_after_crash_between_write_and_checkpoint(spark, tmp_path):
+    """Crash window: tiers written but the high-water checkpoint not yet
+    committed. The re-run reprocesses the same increment (the filter
+    still sees the OLD marks) and merge-write replaces the same rows —
+    the final state must equal the single-shot run regardless."""
+    import shutil
+
+    full = synth_sequences(spark, 1500, mean_tokens=16, span_minutes=180).cache()
+    cutoff = datetime.datetime(2024, 1, 1, 1, 30)
+    first = full.where(F.col("event_ts") < F.lit(cutoff))
+    out = str(tmp_path / "crash")
+
+    run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False)
+    ckpt = os.path.join(out, "_checkpoint_high_water")
+    saved = str(tmp_path / "ckpt_backup")
+    shutil.copytree(ckpt, saved)
+
+    # resume run 2 completes fully...
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False, resume=True)
+    # ...but we simulate the crash by rolling the checkpoint back to the
+    # pre-run state, as if the job died before committing it
+    shutil.rmtree(ckpt)
+    shutil.copytree(saved, ckpt)
+
+    # the healing re-run sees stale marks and reprocesses the increment
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False, resume=True)
+
+    persisted = spark.read.parquet(os.path.join(out, "tier=1m"))
+    single = rollup(full, ["source"], "event_ts", "n_tok", "1m")
+    a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
+    b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
+    assert a == b
+
+
+def test_snapshot_log_chains_commits(spark, tmp_path):
+    """Every committed run appends a snapshot whose parent is the prior
+    head — the Iceberg-style audit chain a resume anchors to."""
+    import json
+
+    from datafiller_spark.plans.pipeline import read_snapshots
+
+    full = synth_sequences(spark, 800, mean_tokens=16, span_minutes=120).cache()
+    cutoff = datetime.datetime(2024, 1, 1, 1, 0)
+    out = str(tmp_path / "snap")
+    run_pipeline(spark, full.where(F.col("event_ts") < F.lit(cutoff)),
+                 ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False, resume=True)
+
+    snaps = read_snapshots(spark, out).collect()
+    assert len(snaps) == 2
+    head, root = snaps
+    assert root.parent_id is None and not root.resume
+    assert head.parent_id == root.snapshot_id and head.resume
+    assert json.loads(head.counters)["tier_1m_rows"] >= 0
