@@ -87,3 +87,45 @@ def test_real_events_end_to_end(spark, sf_dir):
     pdf = filled.toPandas()
     assert len(pdf) >= tier.count()
     assert pdf["avg_value"].isna().sum() == 0
+
+
+def test_model_gapfill_multiple_value_columns(spark):
+    """Multi-column fill: each series group imputes BOTH metrics in one
+    kernel call (cross-column signal is exactly what the multivariate
+    kernel exists for), matching the kernel run directly on pandas."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_spark.kernels import TimeSeriesImputer
+    from datafiller_spark.operators import model_gapfill
+
+    idx = pd.date_range("2024-01-01", periods=96, freq="h")
+    t = np.arange(96, dtype="float64")
+    a = np.sin(2 * np.pi * t / 24) + 0.05 * t
+    b = 2.0 * a + 1.0
+    a[20:26] = np.nan
+    b[50:53] = np.nan
+    rows = [
+        ("k", ts.to_pydatetime(),
+         None if np.isnan(x) else float(x),
+         None if np.isnan(y) else float(y))
+        for ts, x, y in zip(idx, a, b)
+    ]
+    sdf = spark.createDataFrame(rows, "key string, bucket timestamp, m1 double, m2 double")
+    out = (
+        model_gapfill(sdf, ["key"], "bucket", ["m1", "m2"],
+                      lags=(1, 2, -1, -2), min_samples_train=20)
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    assert out["m1"].isna().sum() == 0 and out["m2"].isna().sum() == 0
+
+    frame = pd.DataFrame({"m1": a, "m2": b}, index=idx)
+    expected = TimeSeriesImputer(lags=(1, 2, -1, -2), min_samples_train=20)(frame)
+    # Arrow delivers microsecond timestamps while the local frame carries
+    # nanoseconds; the float32 calendar features round once differently
+    # → last-ULP differences (~1e-15) on a few modeled cells
+    np.testing.assert_allclose(
+        out[["m1", "m2"]].to_numpy(), expected.to_numpy(), rtol=1e-12, atol=1e-12
+    )
