@@ -1,9 +1,19 @@
-from .pipeline import run_pipeline, read_snapshots, PipelineResult
+from .pipeline import (
+    PipelineResult,
+    apply_retention,
+    latest_snapshot_id,
+    read_snapshot,
+    read_snapshots,
+    run_pipeline,
+)
 from .checkpoint import read_high_water, write_high_water, incremental_filter
 
 __all__ = [
     "run_pipeline",
+    "read_snapshot",
     "read_snapshots",
+    "latest_snapshot_id",
+    "apply_retention",
     "PipelineResult",
     "read_high_water",
     "write_high_water",

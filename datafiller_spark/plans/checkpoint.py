@@ -12,14 +12,30 @@ row replaces the prior one instead of adding to it.
 The caller hands the resume run the FULL raw table (an Iceberg
 incremental read plus the open bucket's prior rows also satisfies the
 contract); ``incremental_filter`` prunes everything strictly before the
-open bucket. On Iceberg the checkpoint would be the snapshot id + a
-high-water table; on plain parquet (this sandbox) it is a small parquet
-table of (key, max_bucket) — same protocol, different storage.
+open bucket.
+
+Snapshot pinning (the Iceberg analogue): every committed run writes its
+high-water table to an IMMUTABLE per-snapshot path
+(``_hw/snapshot=<id>``) in addition to the mutable head copy
+(``_checkpoint_high_water``). A resume anchors to a snapshot id and
+reads that snapshot's marks — a writer racing the resume can move the
+head, but never the pinned copy the resume is reading. Reads are lazy
+Spark scans (never a driver-side collect: the checkpoint is one row per
+key, which at 10^12 sequences can be millions of rows); the mutable
+head, which the same run later overwrites, is file-copied to a
+run-scoped temp dir before the lazy read so the plan never points at
+deleted files.
+
+Losing the head copy is SAFE: a key absent from the marks is simply
+reprocessed from the start and merge-write replaces its rows — the
+result is unchanged, only the incremental saving is lost.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,20 +43,32 @@ from pyspark.sql import functions as F
 from ..operators.bucket import time_bucket
 
 
-def checkpoint_path(base_dir: str) -> str:
-    return os.path.join(base_dir, "_checkpoint_high_water")
+def checkpoint_path(base_dir: str, snapshot_id: str | None = None) -> str:
+    if snapshot_id is None:
+        return os.path.join(base_dir, "_checkpoint_high_water")
+    return os.path.join(base_dir, "_hw", f"snapshot={snapshot_id}")
 
 
-def read_high_water(spark: SparkSession, base_dir: str) -> DataFrame | None:
-    path = checkpoint_path(base_dir)
-    try:
-        lazy = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — missing checkpoint == first run
+def read_high_water(
+    spark: SparkSession, base_dir: str, snapshot_id: str | None = None
+) -> DataFrame | None:
+    """Per-key high-water marks; ``snapshot_id`` pins the immutable copy
+    a specific commit wrote (outputs written before snapshot pinning
+    existed fall back to the mutable head)."""
+    if snapshot_id is not None:
+        pinned = checkpoint_path(base_dir, snapshot_id)
+        if os.path.exists(pinned):
+            # immutable: never overwritten, so a lazy scan is safe
+            return spark.read.parquet(pinned)
+    head = checkpoint_path(base_dir)
+    if not os.path.exists(head):
         return None
-    # Materialize eagerly: the same run overwrites this path at commit
-    # time, and a lazy plan would then point at deleted files. The table
-    # is one row per key — driver-side materialization is free.
-    return spark.createDataFrame(lazy.collect(), lazy.schema)
+    # The head copy is overwritten when THIS run commits; snapshot its
+    # files to a run-scoped temp dir so the lazy plan outlives the
+    # overwrite. File copy, not collect: O(bytes), zero driver rows.
+    tmp = os.path.join(tempfile.mkdtemp(prefix="dfspark_hw_"), "hw")
+    shutil.copytree(head, tmp)
+    return spark.read.parquet(tmp)
 
 
 def write_high_water(
@@ -48,9 +76,12 @@ def write_high_water(
     key_cols: list[str],
     base_dir: str,
     prior: DataFrame | None = None,
+    snapshot_id: str | None = None,
 ) -> None:
     """Persist per-key max bucket, unioned with the prior checkpoint so
-    keys with no new data this run retain their marks."""
+    keys with no new data this run retain their marks. With
+    ``snapshot_id`` the table lands on the immutable per-snapshot path
+    and the mutable head is refreshed from it by file copy."""
     hw = df_tier_1m.groupBy(*key_cols).agg(F.max("bucket").alias("max_bucket"))
     if prior is not None:
         hw = (
@@ -58,7 +89,19 @@ def write_high_water(
             .groupBy(*key_cols)
             .agg(F.max("max_bucket").alias("max_bucket"))
         )
-    hw.coalesce(1).write.mode("overwrite").parquet(checkpoint_path(base_dir))
+    head = checkpoint_path(base_dir)
+    if snapshot_id is None:
+        hw.coalesce(1).write.mode("overwrite").parquet(head)
+        return
+    pinned = checkpoint_path(base_dir, snapshot_id)
+    hw.coalesce(1).write.mode("overwrite").parquet(pinned)
+    staged = head + "__new"
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    shutil.copytree(pinned, staged)
+    if os.path.exists(head):
+        shutil.rmtree(head)
+    os.rename(staged, head)
 
 
 def incremental_filter(

@@ -12,8 +12,18 @@ Scale design (what survives 1000 executors / 10^12 sequences):
 - Gap-fill (pandas ridge kernel) runs per (source) group on tier rows,
   never raw rows: the expensive Python stage sees orders of magnitude
   fewer rows than the scan.
-- Each tier is written as parquet partitioned by source so downstream
-  reads prune; Gorilla chunks additionally slash bytes at rest.
+- Persisted state: ``tier=<t>`` holds the OBSERVED tier rows (the
+  mergeable ground truth — count/sum/min/max compose, so (key, bucket)
+  replacement is always safe); the gap-filled representation is
+  persisted as Gorilla chunks. Derived data is never the merge source
+  of truth: a partial re-derivation can then never clobber history.
+- Resume: the 1m delta (from the high-water filter) merges into the
+  observed 1m tier; every DERIVED product — 1h/1d cascade, gap-fill,
+  chunks — is then recomputed from the MERGED tier restricted to the
+  keys the delta touched. Cascade boundaries and open chunks are thus
+  always rebuilt from complete history, and the merge replaces complete
+  rows with complete rows (the same contract the streaming path keeps
+  per micro-batch). Untouched keys are never read or rewritten.
 - Lineage: one row per (tier, spark partition) recording row counts and
   bucket ranges — enough to re-drive any partition.
 - Metrics: per (source, tier): rows in, grid size, gaps filled by each
@@ -47,6 +57,10 @@ class PipelineResult:
     points: int = 0
     wall_seconds: float = 0.0
     counters: dict[str, int] = field(default_factory=dict)
+    snapshot_id: str | None = None
+    #: the 1m rows actually re-aggregated from raw this run (on resume:
+    #: only buckets at/past the pinned high-water marks)
+    delta: DataFrame | None = None
 
 
 def salted_rollup(
@@ -77,6 +91,37 @@ def salted_rollup(
     )
 
 
+def _heal_dir(path: str) -> None:
+    """Recover a directory from a crash mid-swap.
+
+    ``_replace_dir`` renames the live dir aside (``__old``) before
+    renaming the new one into place, so every crash window leaves a
+    recoverable state: ``__old`` without ``path`` → the second rename
+    never happened, restore the old dir; ``__old`` beside ``path`` →
+    the swap completed, drop the leftover; a stray ``__merge_tmp`` is an
+    unfinished staging write and is discarded either way."""
+    old = path + "__old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    tmp = path + "__merge_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def _replace_dir(path: str, staged: str) -> None:
+    """Atomically (to within one rename) swap ``staged`` into ``path``:
+    no crash instant leaves the data unrecoverable (see ``_heal_dir``)."""
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+
+
 def _merge_write(
     spark: SparkSession,
     df: DataFrame,
@@ -89,7 +134,8 @@ def _merge_write(
     sharing the same merge key and untouched keys keep their history —
     the parquet stand-in for Iceberg MERGE / dynamic partition
     overwrite. A static overwrite on a resume run would truncate the
-    whole directory and drop previously persisted data."""
+    whole directory and drop previously persisted data. The directory
+    swap is rename-based with crash recovery (``_heal_dir``)."""
 
     def _write(d: DataFrame, p: str) -> None:
         w = d.write.mode("overwrite")
@@ -97,39 +143,77 @@ def _merge_write(
             w = w.partitionBy(*partition_by)
         w.parquet(p)
 
+    _heal_dir(path)
     if merge and os.path.exists(path):
         prior = spark.read.parquet(path)
         keep = prior.join(df.select(*merge_keys).distinct(), on=merge_keys, how="left_anti")
         merged = keep.select(*df.columns).unionByName(df)
         tmp = path + "__merge_tmp"
         _write(merged, tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        _replace_dir(path, tmp)
     else:
         _write(df, path)
 
 
+def _new_snapshot_id() -> str:
+    import uuid
+
+    return str(uuid.uuid4())
+
+
+def latest_snapshot_id(spark: SparkSession, output_dir: str) -> str | None:
+    """Head of the snapshot chain, or None for a fresh warehouse."""
+    path = os.path.join(output_dir, "_snapshots")
+    if not os.path.exists(path):
+        return None
+    rows = spark.read.parquet(path).orderBy(F.desc("committed_at")).limit(1).collect()
+    return rows[0]["snapshot_id"] if rows else None
+
+
+def read_snapshot(spark: SparkSession, output_dir: str, snapshot_id: str):
+    """One commit row by id (raises on unknown ids)."""
+    rows = (
+        read_snapshots(spark, output_dir)
+        .where(F.col("snapshot_id") == F.lit(snapshot_id))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"unknown snapshot_id {snapshot_id!r}")
+    return rows[0]
+
+
 def _commit_snapshot(
-    spark: SparkSession, output_dir: str, counters: dict, resume: bool
+    spark: SparkSession,
+    output_dir: str,
+    counters: dict,
+    resume: bool,
+    snapshot_id: str,
+    anchor_id: str | None,
 ) -> str:
     """Append one commit row to the warehouse's snapshot log — the
     parquet stand-in for Iceberg's snapshot chain: id, parent id, the
-    run's counters, and whether it was incremental. Read it back with
+    anchor a resume pinned its high-water read to, the run's counters,
+    and whether it was incremental. Read it back with
     :func:`read_snapshots`; the parent chain is the audit trail a resume
     or a re-rollup anchors to."""
     import json
     import time as _time
-    import uuid
 
     path = os.path.join(output_dir, "_snapshots")
-    parent = None
-    if os.path.exists(path):
-        prior = spark.read.parquet(path).orderBy(F.desc("committed_at")).limit(1).collect()
-        parent = prior[0]["snapshot_id"] if prior else None
-    snapshot_id = str(uuid.uuid4())
+    parent = latest_snapshot_id(spark, output_dir)
     spark.createDataFrame(
-        [(snapshot_id, parent, bool(resume), float(_time.time()), json.dumps(counters))],
-        "snapshot_id string, parent_id string, resume boolean, committed_at double, counters string",
+        [
+            (
+                snapshot_id,
+                parent,
+                anchor_id,
+                bool(resume),
+                float(_time.time()),
+                json.dumps(counters),
+            )
+        ],
+        "snapshot_id string, parent_id string, anchor_id string, "
+        "resume boolean, committed_at double, counters string",
     ).coalesce(1).write.mode("append").parquet(path)
     return snapshot_id
 
@@ -177,23 +261,58 @@ def run_pipeline(
     gapfill: bool = True,
     encode: bool = True,
     resume: bool = False,
+    pin_snapshot: str | None = None,
     collect_metrics: bool = True,
     fused: bool = False,
 ) -> PipelineResult:
-    """Run the full tier pipeline; optionally persist + checkpoint."""
+    """Run the full tier pipeline; optionally persist + checkpoint.
+
+    ``resume=True`` anchors the high-water read to a snapshot —
+    ``pin_snapshot`` names one explicitly, otherwise the current head is
+    pinned at start. A writer committing between the pin and this run's
+    commit cannot change which rows this run reprocesses (the pinned
+    per-snapshot marks are immutable)."""
     t0 = time.time()
     keys = list(key_cols)
-
-    prior_hw = None
-    if resume and output_dir:
-        prior_hw = read_high_water(spark, output_dir)
-        raw = incremental_filter(raw, prior_hw, keys, ts_col, tier="1m")
     merging = bool(resume and output_dir)
 
+    prior_hw = None
+    anchor_id = None
+    if merging:
+        anchor_id = pin_snapshot if pin_snapshot is not None else latest_snapshot_id(spark, output_dir)
+        prior_hw = read_high_water(spark, output_dir, snapshot_id=anchor_id)
+        raw = incremental_filter(raw, prior_hw, keys, ts_col, tier="1m")
+    snapshot_id = _new_snapshot_id() if output_dir else None
+
     if salt_buckets and salt_col:
-        t1m = salted_rollup(raw, keys, ts_col, value_col, "1m", salt_buckets, salt_col)
+        t1m_delta = salted_rollup(raw, keys, ts_col, value_col, "1m", salt_buckets, salt_col)
     else:
-        t1m = rollup(raw, keys, ts_col, value_col, "1m")
+        t1m_delta = rollup(raw, keys, ts_col, value_col, "1m")
+    t1m_delta = t1m_delta.cache()
+
+    tier1m_path = os.path.join(output_dir, "tier=1m") if output_dir else None
+    if output_dir:
+        # observed rows are the persisted source of truth; written FIRST
+        # so every derived product below can re-derive from the merged
+        # tier (resume) and a crash mid-run is heal-by-rerun
+        _merge_write(
+            spark,
+            t1m_delta,
+            tier1m_path,
+            merge_keys=keys + ["bucket"],
+            partition_by=keys[:1],
+            merge=merging,
+        )
+    if merging:
+        # Derived products (cascades, fills, chunks) must never be built
+        # from the delta alone: a delta-only 1h boundary row or open
+        # chunk would REPLACE its complete prior version on merge. Read
+        # back the merged tier, restricted to the keys the delta touched
+        # — work scales with the affected keys' history, not the table.
+        affected = t1m_delta.select(*keys).distinct()
+        t1m = spark.read.parquet(tier1m_path).join(F.broadcast(affected), keys, "left_semi")
+    else:
+        t1m = t1m_delta
     t1m = t1m.cache()
 
     if fused and gapfill and encode and not collect_metrics:
@@ -236,8 +355,8 @@ def run_pipeline(
             counters[f"tier_{tier}_points"] = int(row["pts"]) if row else 0
             total_points += counters[f"tier_{tier}_points"]
         if output_dir:
-            write_high_water(t1m, keys, output_dir, prior=prior_hw)
-            _commit_snapshot(spark, output_dir, counters, resume)
+            write_high_water(t1m_delta, keys, output_dir, prior=prior_hw, snapshot_id=snapshot_id)
+            _commit_snapshot(spark, output_dir, counters, resume, snapshot_id, anchor_id)
         return PipelineResult(
             tiers=tiers,
             filled={},
@@ -247,6 +366,8 @@ def run_pipeline(
             points=total_points,
             wall_seconds=time.time() - t0,
             counters=counters,
+            snapshot_id=snapshot_id,
+            delta=t1m_delta,
         )
 
     tiers: dict[str, DataFrame] = {"1m": t1m}
@@ -269,6 +390,16 @@ def run_pipeline(
             lineage_parts.append(_lineage(tdf, tier, keys))
         else:
             n_rows = -1
+
+        if output_dir and tier != "1m":  # 1m observed rows already persisted above
+            _merge_write(
+                spark,
+                tdf,
+                os.path.join(output_dir, f"tier={tier}"),
+                merge_keys=keys + ["bucket"],
+                partition_by=keys[:1],
+                merge=merging,
+            )
 
         if fused and gapfill and encode:
             # one shuffle + one Python stage per tier: fill and encode in
@@ -337,6 +468,14 @@ def run_pipeline(
             counters[f"tier_{tier}_wall_ms"] = int((time.time() - t_enc) * 1000)
             if not collect_metrics:
                 total_points += int(stats["pts"] or 0)
+            if output_dir:
+                _merge_write(
+                    spark,
+                    encoded[tier],
+                    os.path.join(output_dir, f"chunks_tier={tier}"),
+                    merge_keys=keys + ["chunk_start"],
+                    merge=merging,
+                )
 
         metrics_rows.append(
             (
@@ -347,24 +486,6 @@ def run_pipeline(
                 counters.get(f"tier_{tier}_bytes", 0),
             )
         )
-
-        if output_dir:
-            _merge_write(
-                spark,
-                filled[tier],
-                os.path.join(output_dir, f"tier={tier}"),
-                merge_keys=keys + ["bucket"],
-                partition_by=keys[:1],
-                merge=merging,
-            )
-            if encode:
-                _merge_write(
-                    spark,
-                    encoded[tier],
-                    os.path.join(output_dir, f"chunks_tier={tier}"),
-                    merge_keys=keys + ["chunk_start"],
-                    merge=merging,
-                )
 
     metrics = spark.createDataFrame(
         metrics_rows, ["tier", "rows_in", "grid_rows", "gaps_filled", "bytes_out"]
@@ -379,8 +500,8 @@ def run_pipeline(
         metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "metrics"))
         if lineage is not None:
             lineage.coalesce(1).write.mode("overwrite").parquet(os.path.join(output_dir, "lineage"))
-        write_high_water(t1m, keys, output_dir, prior=prior_hw)
-        _commit_snapshot(spark, output_dir, counters, resume)
+        write_high_water(t1m_delta, keys, output_dir, prior=prior_hw, snapshot_id=snapshot_id)
+        _commit_snapshot(spark, output_dir, counters, resume, snapshot_id, anchor_id)
 
     return PipelineResult(
         tiers=tiers,
@@ -391,6 +512,8 @@ def run_pipeline(
         points=total_points,
         wall_seconds=time.time() - t0,
         counters=counters,
+        snapshot_id=snapshot_id,
+        delta=t1m_delta,
     )
 
 
@@ -398,14 +521,13 @@ def apply_retention(spark: SparkSession, output_dir: str, tier: str, keep_after)
     """Retention: rewrite a tier keeping only buckets >= ``keep_after``.
 
     On Iceberg this is a metadata-only partition drop; on parquet we
-    rewrite the tier directory. Returns rows retained."""
+    rewrite the tier directory (crash-safe rename swap). Returns rows
+    retained."""
     path = os.path.join(output_dir, f"tier={tier}")
+    _heal_dir(path)
     df = spark.read.parquet(path).where(F.col("bucket") >= F.lit(keep_after))
     kept = df.count()
-    tmp = path + "_retained"
+    tmp = path + "__merge_tmp"
     df.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _replace_dir(path, tmp)
     return kept

@@ -151,6 +151,9 @@ def start_tier_pipeline_stream(
         _merge_write(
             spark, enc, chunk_path, merge_keys=keys + ["chunk_start"], merge=True
         )
+        # both merge-writes have materialized: drop the per-batch cache so
+        # a long-running stream doesn't accumulate batch blocks
+        batch_df.unpersist()
 
     return (
         rolled.writeStream.foreachBatch(handle_batch)

@@ -76,9 +76,10 @@ def test_resume_is_incremental_and_consistent(spark, tmp_path):
 
     res2 = run_pipeline(spark, second, ["source"], "event_ts", "n_tok", output_dir=out,
                         gapfill=False, encode=False, resume=True)
-    incr_1m = res2.tiers["1m"].select("source", "bucket", "n_points").collect()
-    # resume processed only buckets at/past the checkpoint (the high-water
-    # bucket itself is open and reprocessed wholesale)
+    incr_1m = res2.delta.select("source", "bucket", "n_points").collect()
+    # the raw scan re-aggregated only buckets at/past the checkpoint (the
+    # high-water bucket itself is open and reprocessed wholesale); the
+    # tier frames cover the affected keys' full merged history
     assert min(r.bucket for r in incr_1m) >= hw_min
 
     # the PERSISTED tier after the resume run == a single-shot run on
@@ -157,17 +158,18 @@ def test_resume_heals_after_crash_between_write_and_checkpoint(spark, tmp_path):
 
     run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out,
                  gapfill=False, encode=False)
-    ckpt = os.path.join(out, "_checkpoint_high_water")
-    saved = str(tmp_path / "ckpt_backup")
-    shutil.copytree(ckpt, saved)
+    committed = ["_checkpoint_high_water", "_hw", "_snapshots"]
+    for name in committed:
+        shutil.copytree(os.path.join(out, name), str(tmp_path / f"{name}_backup"))
 
     # resume run 2 completes fully...
     run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
                  gapfill=False, encode=False, resume=True)
-    # ...but we simulate the crash by rolling the checkpoint back to the
-    # pre-run state, as if the job died before committing it
-    shutil.rmtree(ckpt)
-    shutil.copytree(saved, ckpt)
+    # ...but we simulate the crash by rolling the WHOLE commit state
+    # (marks + snapshot chain) back, as if the job died before committing
+    for name in committed:
+        shutil.rmtree(os.path.join(out, name))
+        shutil.copytree(str(tmp_path / f"{name}_backup"), os.path.join(out, name))
 
     # the healing re-run sees stale marks and reprocesses the increment
     run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
@@ -178,6 +180,143 @@ def test_resume_heals_after_crash_between_write_and_checkpoint(spark, tmp_path):
     a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
     b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
     assert a == b
+
+
+def test_resume_with_gapfill_encode_matches_single_shot(spark, tmp_path):
+    """The round-2 resume bug: cascading/encoding the 1m DELTA alone
+    produced partial 1h/1d boundary rows and partial open chunks, which
+    merge-write then swapped in over the complete priors. The resume now
+    re-derives every derived product from the MERGED tier for affected
+    keys, so all three persisted tiers AND the chunk payloads must be
+    byte-identical to a single-shot run over the full data."""
+    full = synth_sequences(spark, 2000, mean_tokens=16, span_minutes=240).cache()
+    cutoff = datetime.datetime(2024, 1, 1, 2, 0)
+    first = full.where(F.col("event_ts") < F.lit(cutoff))
+
+    out = str(tmp_path / "resumed")
+    ref = str(tmp_path / "singleshot")
+    kwargs = dict(min_samples_train=10, gapfill=True, encode=True)
+    run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out, **kwargs)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 resume=True, **kwargs)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=ref, **kwargs)
+
+    for tier in ("1m", "1h", "1d"):
+        cols = ["source", "bucket", "n_points", "sum_value"]
+        a = sorted(map(tuple, spark.read.parquet(os.path.join(out, f"tier={tier}"))
+                       .select(*cols).collect()))
+        b = sorted(map(tuple, spark.read.parquet(os.path.join(ref, f"tier={tier}"))
+                       .select(*cols).collect()))
+        assert a == b, f"tier {tier} diverged after resume"
+
+        ccols = ["source", "chunk_start", "n_points", "payload"]
+        ca = sorted(
+            (r.source, r.chunk_start, r.n_points, bytes(r.payload))
+            for r in spark.read.parquet(os.path.join(out, f"chunks_tier={tier}"))
+            .select(*ccols).collect()
+        )
+        cb = sorted(
+            (r.source, r.chunk_start, r.n_points, bytes(r.payload))
+            for r in spark.read.parquet(os.path.join(ref, f"chunks_tier={tier}"))
+            .select(*ccols).collect()
+        )
+        assert ca == cb, f"chunks for tier {tier} diverged after resume"
+
+
+def test_fused_resume_matches_single_shot(spark, tmp_path):
+    """Same invariant through the fused one-kernel path (what bench and
+    the 100 TB design actually run)."""
+    full = synth_sequences(spark, 2000, mean_tokens=16, span_minutes=240).cache()
+    cutoff = datetime.datetime(2024, 1, 1, 2, 0)
+    first = full.where(F.col("event_ts") < F.lit(cutoff))
+
+    out = str(tmp_path / "fused_resumed")
+    ref = str(tmp_path / "fused_singleshot")
+    kwargs = dict(min_samples_train=10, gapfill=True, encode=True,
+                  collect_metrics=False, fused=True)
+    run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out, **kwargs)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 resume=True, **kwargs)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=ref, **kwargs)
+
+    def chunk_set(base):
+        return sorted(
+            (r.source, r.tier, r.chunk_start, r.n_points, bytes(r.payload))
+            for r in spark.read.parquet(os.path.join(base, "chunks")).collect()
+        )
+
+    assert chunk_set(out) == chunk_set(ref)
+
+
+def test_merge_write_heals_crash_mid_swap(spark, tmp_path):
+    """A crash between the two renames of the directory swap must be
+    recoverable: __old present without the live dir → restored."""
+    import shutil
+
+    from datafiller_spark.plans.pipeline import _heal_dir, _merge_write
+
+    path = str(tmp_path / "swap" / "tier=1m")
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    _merge_write(spark, df, path, merge_keys=["k"])
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # simulate the worst crash instant: live dir renamed aside, new dir
+    # not yet renamed in (and its staging write half-finished)
+    os.rename(path, path + "__old")
+    os.makedirs(path + "__merge_tmp")
+    _heal_dir(path)
+    assert os.path.exists(path) and not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__merge_tmp")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # ...and the other window: swap completed, leftovers remain
+    shutil.copytree(path, path + "__old")
+    _merge_write(spark, spark.createDataFrame([("b", 2)], "k string, v int"),
+                 path, merge_keys=["k"], merge=True)
+    rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert rows == [("a", 1), ("b", 2)]
+    assert not os.path.exists(path + "__old")
+
+
+def test_snapshot_pinned_resume_ignores_racing_head_write(spark, tmp_path):
+    """North star: 'snapshot-pinned reads for resume'. A writer racing
+    the resume may move the mutable head marks; a resume pinned to a
+    snapshot must re-read THAT snapshot's immutable marks, so the raced
+    run's output equals the un-raced one."""
+    from datafiller_spark.plans import latest_snapshot_id, read_snapshot
+
+    full = synth_sequences(spark, 1500, mean_tokens=16, span_minutes=180).cache()
+    cutoff = datetime.datetime(2024, 1, 1, 1, 30)
+    first = full.where(F.col("event_ts") < F.lit(cutoff))
+
+    out = str(tmp_path / "pin")
+    run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False)
+    s1 = latest_snapshot_id(spark, out)
+
+    # racing writer: clobber the mutable head with far-future marks —
+    # an unpinned reader consulting the head would now skip everything
+    head = os.path.join(out, "_checkpoint_high_water")
+    far = spark.read.parquet(head).withColumn(
+        "max_bucket", F.lit(datetime.datetime(2030, 1, 1))
+    )
+    far.coalesce(1).write.mode("overwrite").parquet(head + "__race")
+    import shutil
+    shutil.rmtree(head)
+    os.rename(head + "__race", head)
+
+    res = run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                       gapfill=False, encode=False, resume=True, pin_snapshot=s1)
+
+    persisted = spark.read.parquet(os.path.join(out, "tier=1m"))
+    single = rollup(full, ["source"], "event_ts", "n_tok", "1m")
+    a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
+    b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
+    assert a == b
+
+    # the commit records which snapshot the resume anchored to
+    snap = read_snapshot(spark, out, res.snapshot_id)
+    assert snap.anchor_id == s1 and snap.resume
 
 
 def test_snapshot_log_chains_commits(spark, tmp_path):
