@@ -403,15 +403,41 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dupes(spark, sf_dir):
-    """Cosine-threshold near-duplicate pairs over embeddings (the
-    embedding leg of the dedup menu). Exact verifier form; at scale it
-    runs per LSH bucket (operators/similarity.py docstring)."""
+    """Cosine-threshold near-duplicate pairs over embeddings — the
+    brute-force VERIFIER (quadratic; the scale path is
+    ``embedding_near_dupes_lsh`` below, tested against this form)."""
     from datafiller_spark.operators import embedding_near_dupes
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return embedding_near_dupes(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def q_embedding_near_dupes_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane LSH banding + exact
+    cosine verification — the 100 TB scale path (linear shuffle, no
+    all-pairs join). The test corpus has no natural pairs above 0.6, so
+    the corpus is augmented with deterministic scaled copies
+    (vec_id + 10000, 2·v → cosine exactly 1): positive scaling preserves
+    every hyperplane sign, so each copy shares all its original's
+    buckets and the verified output provably equals the exact
+    threshold-0.95 pair set — which is what the SQL oracle computes
+    (i.e. the oracle checks LSH candidates ⊇ all qualifying pairs)."""
+    from datafiller_spark.operators import embedding_near_dupes_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    return embedding_near_dupes_lsh(
+        corpus, "vec_id", "embedding", threshold=0.95, dim=64, n_planes=8, n_tables=8
+    )
 
 
 def q_token_bigrams(spark, sf_dir):
@@ -576,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
+        "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
         "token_bigrams": q_token_bigrams,
         "embedding_quality": q_embedding_quality,
         "quality": q_quality,
@@ -897,6 +924,18 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+    sql["embedding_near_dupes_lsh"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corp AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(v, x -> x * 2.0) FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM corp a JOIN corp b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
 """
     sql["token_bigrams"] = """
 WITH words AS (

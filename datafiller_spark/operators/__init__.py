@@ -12,7 +12,14 @@ from .dedup import (
     simhash_duplicates,
     simhash_near_dupes,
 )
-from .similarity import cosine_topk, lsh_topk, ivf_topk, train_ivf_centroids, embedding_near_dupes
+from .similarity import (
+    cosine_topk,
+    embedding_near_dupes,
+    embedding_near_dupes_lsh,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
 from .asof import asof_join
 from .multimodal import extract_features, sample_frames
 
@@ -50,6 +57,7 @@ __all__ = [
     "ivf_topk",
     "train_ivf_centroids",
     "embedding_near_dupes",
+    "embedding_near_dupes_lsh",
     "asof_join",
     "extract_features",
     "sample_frames",

@@ -167,8 +167,10 @@ def minhash_lsh_pairs(
     bucket are still caught by any of their other ``bands - 1`` bands.
     """
     rows_per_band = num_hashes // bands
-    # shingles + signatures in ONE frame, materialized once for both the
-    # banding and the verification sides
+    # shingles + signatures in ONE frame, cached once for both the
+    # banding and the verification sides; the cache is dropped before
+    # returning (the result below is materialized eagerly first), so
+    # repeated calls can't accumulate large shingle blocks in storage
     sig_grams = _shingled_signatures(df, id_col, text_col, n, num_hashes).persist()
     banded = sig_grams.select(
         "id",
@@ -203,7 +205,7 @@ def minhash_lsh_pairs(
     gb = sig_grams.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
     union_size = F.size("__ga") + F.size("__gb") - inter
-    return (
+    out = (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
         .select(
@@ -215,6 +217,13 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize the (small) verified-pair result while the shingle
+    # cache is hot, then release it — the pair rows stay cached, the
+    # shingle+signature blocks (the big allocation) do not
+    out = out.persist()
+    out.count()
+    sig_grams.unpersist()
+    return out
 
 
 @F.pandas_udf(LongType())

@@ -4,15 +4,29 @@
   Dot products via ``zip_with`` + ``aggregate`` (JVM-side, codegen'd);
   the query set is small and **broadcast**, so the scan side streams
   once with no shuffle before the per-query top-k window.
-- ``lsh_topk``: the scale path — random-hyperplane sign buckets shrink
-  the candidate set from |corpus| to a bucket (multi-probe over Hamming
-  ≤ 1 neighbors keeps recall high); exact cosine re-ranks candidates.
-- ``embedding_near_dupes``: cosine-threshold near-duplicate pairs.
+- ``lsh_topk``: ANN scale path #1 — random-hyperplane sign buckets
+  shrink the candidate set from |corpus| to a bucket (multi-probe over
+  Hamming ≤ 1 neighbors keeps recall high); exact cosine re-ranks.
+- ``ivf_topk``: ANN scale path #2 — inverted lists under k-means coarse
+  centroids, nprobe probing, exact re-rank.
+- ``embedding_near_dupes``: cosine-threshold pairs, brute force — the
+  VERIFIER/test oracle only (quadratic).
+- ``embedding_near_dupes_lsh``: the scale path for embedding dedup —
+  hyperplane-banded candidates, exact cosine verification per candidate
+  (the embedding-side mirror of MinHash-LSH → ngram-Jaccard).
+
+All hyperplane/centroid projections run in ONE vectorized pandas UDF
+per table scan: the projection matrix is a Spark broadcast NumPy array
+and each Arrow batch costs a single GEMM. (The round-2 form inlined
+``n_planes × dim`` float literals per expression, which blows up
+Catalyst analysis time and plan size at production widths like
+4096×768 — see tests/test_plans.py for the plan-size assertion.)
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,7 +78,9 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> np.ndarray:
 
 
 def _bucket_expr(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id from ``n_planes`` fixed random hyperplanes."""
+    """Literal-expression sign-bucket id (reference form, kept ONLY as
+    the cross-check oracle for the vectorized UDF — inlines n_planes×dim
+    float literals, do not use on wide embeddings)."""
     bits = []
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -81,6 +97,30 @@ def _bucket_expr(vec_col, planes: np.ndarray):
     for b in bits[1:]:
         bucket = bucket + b
     return bucket
+
+
+def _bucket_udf(df: DataFrame, tables: list[np.ndarray]):
+    """Vectorized per-table sign-bucket ids: ONE pandas UDF whose Arrow
+    batches each cost a single GEMM against the broadcast stacked
+    ``(n_tables · n_planes, dim)`` hyperplane matrix. Returns a column
+    function: embedding → array<int> of ``n_tables`` bucket ids."""
+    stacked = np.ascontiguousarray(np.concatenate(tables, axis=0))  # (T*P, dim)
+    n_tables = len(tables)
+    n_planes = tables[0].shape[0]
+    bc = df.sparkSession.sparkContext.broadcast(stacked)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        proj = x @ bc.value.T  # (n, T*P)
+        bits = (proj >= 0).reshape(len(x), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_topk(
@@ -113,27 +153,24 @@ def lsh_topk(
             "trigger a driver-side scan of the corpus."
         )
     tables = [_hyperplanes(dim, n_planes, seed=17 + 31 * t) for t in range(n_tables)]
+    buckets = _bucket_udf(df, tables)
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
-        F.posexplode(
-            F.array(*[_bucket_expr(F.col(vec_col), planes) for planes in tables])
-        ).alias("table", "bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     probes = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
-
-    def _probe_buckets(planes):
-        base = _bucket_expr(F.col(vec_col), planes)
-        return F.transform(probes, lambda m: base.bitwiseXOR(m))
-
     queries = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
-        F.posexplode(F.array(*[_probe_buckets(planes) for planes in tables])).alias(
-            "table", "buckets"
-        ),
-    ).select("query_id", "__q", "table", F.explode("buckets").alias("bucket"))
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "base"),
+    ).select(
+        "query_id",
+        "__q",
+        "table",
+        F.explode(F.transform(probes, lambda m: F.col("base").bitwiseXOR(m))).alias("bucket"),
+    )
     scored = corpus.join(F.broadcast(queries), ["table", "bucket"]).where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -158,8 +195,9 @@ def embedding_near_dupes(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold (id_a < id_b). Brute-force verifier;
-    at scale run it per LSH bucket instead of globally."""
+    """Pairs with cosine ≥ threshold (id_a < id_b). Brute-force all-pairs
+    VERIFIER — the test oracle for ``embedding_near_dupes_lsh``, which is
+    the scale path. Keep this out of scheduled pipelines."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
     return (
@@ -170,6 +208,70 @@ def embedding_near_dupes(
             F.round(_dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b"))), 6).alias(
                 "cosine"
             ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dupes_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: hyperplane-banded candidates,
+    exact cosine verification per candidate — the embedding-side mirror
+    of MinHash-LSH → ngram verification. Shuffle volume is linear in
+    |corpus| · n_tables; pair work is per-candidate, never all-pairs.
+
+    Recall for cosine ≥ t over one table is ``(1 − θ/π)^n_planes`` with
+    θ = arccos(t); tables multiply it (t=0.95, 8 planes, 8 tables →
+    ~0.99). Degenerate hot buckets (near-constant corpora) are capped
+    like MinHash-LSH: buckets larger than ``max_bucket_size`` are
+    skipped, and genuinely similar pairs still surface via their other
+    tables. Output matches ``embedding_near_dupes``.
+    """
+    if dim is None:
+        raise ValueError("embedding_near_dupes_lsh requires dim (embedding width).")
+    tables = [_hyperplanes(dim, n_planes, seed=17 + 31 * t) for t in range(n_tables)]
+    buckets = _bucket_udf(df, tables)
+
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    bucket_w = Window.partitionBy("table", "bucket")
+    banded = (
+        banded.withColumn("__bs", F.count("*").over(bucket_w))
+        .where(F.col("__bs") <= max_bucket_size)
+        .drop("__bs")
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b"))), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -213,23 +315,31 @@ def train_ivf_centroids(
     return centroids
 
 
-def _nearest_clusters_expr(vec_col, centroids: np.ndarray, top: int):
-    """Column expr: array of the ``top`` nearest centroid ids (by dot
-    product on normalized centroids) — pure built-ins, no Python."""
-    sims = F.array(
-        *[
-            _dot(
-                vec_col,
-                F.array(*[F.lit(float(c)) for c in centroid]),
-            )
-            / _norm(vec_col)
-            for centroid in centroids
-        ]
-    )
-    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    pairs = F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-    ranked = F.reverse(F.array_sort(pairs))
-    return F.transform(F.slice(ranked, 1, top), lambda p: p["i"])
+def _nearest_clusters_udf(df: DataFrame, centroids: np.ndarray, top: int):
+    """Vectorized ``top`` nearest centroid ids per vector: one GEMM per
+    Arrow batch against the broadcast (k, dim) centroid matrix.
+
+    Order matches the round-2 literal expression exactly: descending
+    cosine, ties broken by the LARGER centroid id first (the reversed
+    lexicographic array_sort of (similarity, id) structs)."""
+    cents = np.ascontiguousarray(centroids.astype(np.float64))
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        norms = np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-300)
+        sims = (x @ bc.value.T) / norms  # (n, k)
+        k = sims.shape[1]
+        # stable argsort over the column-reversed matrix: descending
+        # similarity with ties taking the LARGER id, fully vectorized
+        order_rev = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, : min(top, k)]
+        out = (k - 1 - order_rev).astype(np.int32)
+        return pd.Series(list(out))
+
+    return nearest
 
 
 def ivf_topk(
@@ -255,16 +365,18 @@ def ivf_topk(
         raise ValueError("ivf_topk requires dim (embedding width).")
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, n_clusters, dim)
+    nearest1 = _nearest_clusters_udf(df, centroids, 1)
+    nearest_probe = _nearest_clusters_udf(df, centroids, nprobe)
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
-        _nearest_clusters_expr(F.col(vec_col), centroids, 1)[0].alias("cluster"),
+        F.element_at(nearest1(F.col(vec_col)), 1).alias("cluster"),
     )
     queries = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
-        F.explode(_nearest_clusters_expr(F.col(vec_col), centroids, nprobe)).alias("cluster"),
+        F.explode(nearest_probe(F.col(vec_col))).alias("cluster"),
     )
     scored = (
         corpus.join(F.broadcast(queries), "cluster")

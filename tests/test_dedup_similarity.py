@@ -178,6 +178,69 @@ def test_simhash_near_dupes_hamming(spark):
     assert all(h <= 1 for h in tight.values())
 
 
+def test_bucket_udf_matches_literal_expr(spark, sf_dir):
+    """The vectorized GEMM bucketer must produce the same sign buckets
+    as the round-2 literal-expression form (outputs-unchanged guard for
+    the de-literaled ANN path)."""
+    from datafiller_spark.operators.similarity import (
+        _bucket_expr,
+        _bucket_udf,
+        _hyperplanes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    tables = [_hyperplanes(64, 8, seed=17 + 31 * t) for t in range(4)]
+    buckets = _bucket_udf(emb, tables)
+    via_udf = emb.select(
+        "vec_id", *[F.element_at(buckets(F.col("embedding")), t + 1).alias(f"b{t}")
+                    for t in range(4)]
+    )
+    via_lit = emb.select(
+        "vec_id", *[_bucket_expr(F.col("embedding"), tables[t]).alias(f"b{t}")
+                    for t in range(4)]
+    )
+    a = sorted(map(tuple, via_udf.collect()))
+    b = sorted(map(tuple, via_lit.collect()))
+    assert a == b
+
+
+def test_embedding_near_dupes_lsh_recall_sf01(spark):
+    """The bucketed scale path must recover ≥0.95 of the exact
+    threshold pairs on the sf0.1 embeddings augmented with planted
+    perturbed near-duplicates (the natural sf0.1 max cosine is ~0.55,
+    so the planted pairs ARE the threshold-0.9 truth set), and never
+    emit a pair the exact verifier rejects."""
+    from datafiller_spark.operators import embedding_near_dupes_lsh
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    base = emb.limit(400).collect()
+    rng = np.random.default_rng(23)
+    planted = []
+    for r in base[:120]:
+        v = np.asarray(r.embedding)
+        noise = rng.normal(size=v.shape) * 0.12 * np.linalg.norm(v) / np.sqrt(len(v))
+        planted.append((int(r.vec_id) + 100000, (v + noise).tolist()))
+    corpus = emb.unionByName(spark.createDataFrame(planted, ["vec_id", "embedding"]))
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes(corpus, threshold=0.9).collect()
+    }
+    assert len(exact) >= 100  # the planted perturbations survive the threshold
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes_lsh(
+            corpus, threshold=0.9, dim=64, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert got <= exact  # verification never invents pairs
+    assert len(got & exact) / len(exact) >= 0.95
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     """IVF with clustered vectors: high recall vs exact, deterministic
     across runs, and requires dim."""

@@ -84,6 +84,41 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BatchEvalPython" not in plan, "dot products must stay JVM-side"
 
 
+def test_ann_projections_are_one_pandas_stage_no_literal_blowup(spark):
+    """At production ANN shapes (256 centroids × 512 dims / 32×512
+    hyperplanes) the projection must be ONE vectorized Arrow stage per
+    scan against a broadcast matrix — not 256 inlined literal-array
+    expressions, which multiply plan size and Catalyst analysis time by
+    n_clusters × dim."""
+    import numpy as np
+
+    from datafiller_spark.operators.similarity import (
+        _bucket_udf,
+        _hyperplanes,
+        _nearest_clusters_udf,
+    )
+
+    dim, n_clusters = 512, 256
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.normal(size=dim).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    nearest = _nearest_clusters_udf(df, rng.normal(size=(n_clusters, dim)), 4)
+    ivf_side = df.select("vec_id", nearest(F.col("embedding")).alias("probes"))
+    plan = _plan(ivf_side)
+    assert plan.count("ArrowEvalPython") == 1
+    assert len(plan) < 20_000, "plan blew up — projections are being inlined as literals"
+    assert ivf_side.count() == 8  # and it actually runs at this width
+
+    tables = [_hyperplanes(dim, 8, seed=17 + 31 * t) for t in range(4)]
+    buckets = _bucket_udf(df, tables)
+    lsh_side = df.select("vec_id", buckets(F.col("embedding")).alias("buckets"))
+    plan = _plan(lsh_side)
+    assert plan.count("ArrowEvalPython") == 1
+    assert len(plan) < 20_000
+    assert lsh_side.count() == 8
+
+
 def test_asof_join_is_one_shuffle_no_range_explosion(spark, sf_dir):
     import __spark_entry__ as entrymod
 
