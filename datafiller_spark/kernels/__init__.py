@@ -12,6 +12,7 @@ exactly so the gap-filled tiers are reproducible.
 """
 
 from .ridge import FastRidge, ridge_from_gram
+from .cart import DecisionTreeClassifier
 from .elm import ExtremeLearningMachine
 from .lags import build_lag_matrix, all_nan_columns, interpolate_small_gaps
 from .timefeat import make_time_features
@@ -23,6 +24,7 @@ from .timeseries import TimeSeriesImputer, infer_frequency, regularize_index
 __all__ = [
     "FastRidge",
     "ridge_from_gram",
+    "DecisionTreeClassifier",
     "ExtremeLearningMachine",
     "build_lag_matrix",
     "all_nan_columns",

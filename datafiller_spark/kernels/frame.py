@@ -10,10 +10,10 @@ Categorical dtype and category order preserved, integer columns
 rounded back, column order unchanged (pinned by the reference's own
 round-trip tests, tests/test_multivariate_polars.py:19-26).
 
-The classifier-based categorical-target imputation (M16) needs sklearn
-and stays out of scope; the engine predicts categorical targets through
-their ridge-imputed code column rounded and clipped to the valid code
-range (documented deviation), with the mode fallback as the last step.
+Categorical targets (M16) are imputed by the imputer's classifier — a
+pure-NumPy depth-4 CART matching the reference's
+``DecisionTreeClassifier(max_depth=4)`` semantics (kernels/cart.py) —
+predicting integer codes directly; the mode fallback is the last step.
 """
 
 from __future__ import annotations
@@ -107,8 +107,8 @@ def decode_dataframe(codec: FrameCodec, x_imputed: np.ndarray) -> pd.DataFrame:
             mask = np.isnan(col_data)
             decoded = np.full(len(col_data), np.nan, dtype=object)
             if len(cats) and (~mask).any():
-                # imputed codes are ridge outputs: snap to the nearest
-                # valid code before the label lookup
+                # classifier outputs are exact integer codes; the
+                # round+clip is a pure safety net for custom estimators
                 snapped = np.clip(np.round(col_data[~mask]), 0, len(cats) - 1)
                 decoded[~mask] = np.array(cats, dtype=object)[snapped.astype(np.int64)]
             if is_bool_dtype(dtype):

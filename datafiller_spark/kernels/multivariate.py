@@ -39,6 +39,7 @@ from typing import Any
 import numpy as np
 
 from ..exceptions import EngineTypeError, EngineValueError
+from .cart import DecisionTreeClassifier
 from .gram import GramSolver
 from .optimask import optimask, unique_bool_rows
 from .ridge import FastRidge
@@ -106,16 +107,24 @@ class MultivariateImputer:
         regressor: estimator with ``fit(X, y)`` / ``predict(X)``; defaults
             to :class:`FastRidge` (alpha=1e-2, intercept), the reference
             default.
+        classifier: estimator used for categorical/string/bool targets in
+            the DataFrame path; defaults to the depth-4 CART
+            (:class:`~datafiller_spark.kernels.cart.DecisionTreeClassifier`),
+            matching the reference's
+            ``DecisionTreeClassifier(max_depth=4, random_state=rng)``
+            (reference imputer.py:206).
         min_samples_train: minimum training rows per model (default 20,
             reference imputer.py:164).
         fallback: ``"simple"`` fills still-NaN targeted cells with the
-            column mean; ``None`` leaves them NaN.
+            column mean (MODE for categorical columns); ``None`` leaves
+            them NaN.
     """
 
     def __init__(
         self,
         *,
         regressor: Any | None = None,
+        classifier: Any | None = None,
         min_samples_train: int | None = None,
         fallback: str | None = "simple",
         use_gram: bool | None = None,
@@ -123,6 +132,9 @@ class MultivariateImputer:
         if fallback not in (None, "simple"):
             raise EngineValueError(f"fallback must be 'simple' or None, got {fallback!r}")
         self.regressor: Any = regressor if regressor is not None else FastRidge()
+        self.classifier: Any = (
+            classifier if classifier is not None else DecisionTreeClassifier(max_depth=4, random_state=0)
+        )
         self.min_samples_train = (
             _DEFAULT_MIN_SAMPLES_TRAIN if min_samples_train is None else int(min_samples_train)
         )
@@ -157,6 +169,7 @@ class MultivariateImputer:
     def get_params(self, deep: bool = True) -> dict:
         return {
             "regressor": self.regressor,
+            "classifier": self.classifier,
             "min_samples_train": self.min_samples_train,
             "fallback": self.fallback,
             "use_gram": self.use_gram,
@@ -237,6 +250,7 @@ class MultivariateImputer:
         scores_index: int,
         norm_mean: float,
         norm_scale: float,
+        is_categorical: bool = False,
     ) -> None:
         n = x.shape[1]
         imputable = np.flatnonzero(mask_nan[:, col] & mask_rows)
@@ -258,8 +272,14 @@ class MultivariateImputer:
         observed_patterns = ~np.isnan(local_predict)
         patterns, inverse = unique_bool_rows(observed_patterns)
 
+        # the Gram path expresses the normal-equations ridge only; a
+        # categorical target trains the classifier on materialized rows
+        # (the reference's `(not is_categorical_target) and type(...) is
+        # FastRidge` rule, imputer.py:523)
         solver = (
-            GramSolver(local_train, local_target) if self.use_gram and len(patterns) else None
+            GramSolver(local_train, local_target)
+            if self.use_gram and not is_categorical and len(patterns)
+            else None
         )
 
         local_rows = np.arange(m_local, dtype=np.uint32)
@@ -341,8 +361,24 @@ class MultivariateImputer:
                 if len(group["preds"]) == 1
                 else np.concatenate(group["preds"]).astype(np.uint32)
             )
-            self.regressor.fit(X=local_train[np.ix_(rows, cols)], y=local_target[rows])
-            preds = self.regressor.predict(local_predict[np.ix_(pred_rows, cols)])
+            y_train = local_target[rows]
+            if is_categorical:
+                # classifier on integer codes, with the reference's
+                # single-class shortcut (imputer.py:657-670)
+                unique_y = np.unique(y_train)
+                if unique_y.size < 2:
+                    x_imputed[imputable[pred_rows], col] = (
+                        unique_y[0] * norm_scale + norm_mean
+                    )
+                    continue
+                estimator = self.classifier
+                y_train = y_train.astype(np.int64)
+            else:
+                estimator = self.regressor
+            estimator.fit(X=local_train[np.ix_(rows, cols)], y=y_train)
+            preds = estimator.predict(local_predict[np.ix_(pred_rows, cols)])
+            if is_categorical:
+                preds = preds.astype(np.float32)
             x_imputed[imputable[pred_rows], col] = preds * norm_scale + norm_mean
 
     def _apply_fallback(
@@ -382,14 +418,24 @@ class MultivariateImputer:
     ):
         """Mixed-dtype pandas path: one-hot encode → impute → decode.
 
-        Categorical targets are predicted through their ridge-imputed
-        code column (snapped to the nearest valid code on decode) — the
-        sklearn-free stand-in for the reference's DecisionTree classifier
-        (M16); the mode fallback matches the reference exactly.
+        Reference semantics (imputer.py:836-901): only NUMERIC main
+        columns are standardized — code and dummy columns stay raw — and
+        categorical targets are predicted by the depth-4 decision tree
+        on integer codes (M16), with the MODE fallback as the last step.
         """
+        from pandas.api.types import is_float_dtype, is_integer_dtype
+
         from .frame import decode_dataframe, encode_dataframe
 
         codec = encode_dataframe(df)
+        numeric_norm_cols = np.array(
+            [
+                int(codec.main_indices[i])
+                for i, c in enumerate(df.columns)
+                if is_integer_dtype(df.dtypes[c]) or is_float_dtype(df.dtypes[c])
+            ],
+            dtype=np.int64,
+        )
         if cols_to_impute is None:
             target_idx = codec.main_indices
         else:
@@ -414,6 +460,8 @@ class MultivariateImputer:
                 n_nearest_features=n_nearest_features,
                 normalize=normalize,
                 _owns_input=True,
+                _categorical_cols=set(codec.categories),
+                _normalize_cols=numeric_norm_cols,
             )
         finally:
             self._mode_cols = None
@@ -436,6 +484,8 @@ class MultivariateImputer:
         n_nearest_features: None | float | int = None,
         normalize: bool = True,
         _owns_input: bool = False,
+        _categorical_cols: set[int] | None = None,
+        _normalize_cols: np.ndarray | None = None,
     ) -> np.ndarray:
         import pandas as pd
 
@@ -466,8 +516,10 @@ class MultivariateImputer:
         mask_rows = np.zeros(m, dtype=bool)
         mask_rows[rows_idx] = True
 
-        if normalize:
-            norm_cols = np.arange(n, dtype=np.int64)
+        norm_cols = (
+            _normalize_cols if _normalize_cols is not None else np.arange(n, dtype=np.int64)
+        )
+        if normalize and norm_cols.size:
             norm_means, norm_scales = self._standardization(x, counts, sums, norm_cols)
             x_imputed = x.copy()
             # (x - mean) / scale is computed in float64 and rounded ONCE
@@ -487,16 +539,18 @@ class MultivariateImputer:
 
         targeted_nan = int((mask_nan[:, cols_idx] & mask_rows[:, None]).sum())
         if n_nearest is not None:
-            # Standardized columns have zero observed mean; others keep theirs.
+            # Standardized columns have zero observed mean; others keep
+            # theirs (reference imputer.py:920-923 zeroes normalize_cols).
             score_means = np.where(counts == 0, 0.0, sums / np.maximum(counts, 1))
             if norm_means is not None:
-                score_means[:] = 0.0
+                score_means[norm_cols] = 0.0
             scores = score_features(x, cols_idx, column_means=score_means)
             self.imputation_features_ = {}
         else:
             scores = None
             self.imputation_features_ = None
 
+        cat_cols = _categorical_cols or set()
         for i, col in enumerate(cols_idx):
             self._impute_col(
                 x,
@@ -509,6 +563,7 @@ class MultivariateImputer:
                 i,
                 0.0 if norm_means is None else float(norm_means[col]),
                 1.0 if norm_scales is None else float(norm_scales[col]),
+                is_categorical=int(col) in cat_cols,
             )
 
         still_nan = int(
