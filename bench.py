@@ -36,10 +36,10 @@ BENCH_SPAN = int(os.environ.get("SPARK_GRAFT_BENCH_SPAN", "5760"))
 # override with SPARK_GRAFT_BENCH_N_LOW/N_HIGH.
 N_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_N_HIGH", "4"))
 N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_N_LOW", str(max(N_HIGH // 4, 1))))
-# 1 alternating (low, high) pair by default keeps the whole bench under
-# ~10 minutes (the cooldowns are the cost of a fair thermal comparison);
-# set 2-3 for a multi-sample campaign
-BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+# 3 alternating (low, high) pairs by default: the recorded efficiency is
+# the MEDIAN of ≥3 equal-thermal pairs (a single pair is hostage to this
+# VM's ±20% run-to-run variance); set 1 for a quick iteration loop
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 HEADLINE = [
     "rollup_1m",
@@ -51,8 +51,13 @@ HEADLINE = [
     "model_gapfill_1h",
     "tokens_meta",
     "token_rollup_1m",
+    "model_gapfill_elm_1h",
+    "gap_spline_1h",
     "cosine_topk",
     "minhash_lsh",
+    "simhash_near",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
     "pricing_summary",
     "asof_join",
 ]
@@ -191,8 +196,9 @@ def main() -> None:
     samples = []
     for i in range(BENCH_REPEATS):
         for level in (n_low, n_high):
-            if i or level != n_low:
-                time.sleep(120)
+            # equal cooldown before EVERY run, including the very first,
+            # so both levels of every pair share the same thermal history
+            time.sleep(120)
             runs[level].append(run_worker("pipeline", level))
         samples.append(
             round(
@@ -211,7 +217,13 @@ def main() -> None:
     # compares two runs under the same thermal history, whereas
     # best(high)/best(low) mixes a coldest-low with a coldest-high run
     # and is biased by whichever level profits more from a cold box
-    efficiency = sorted(samples)[len(samples) // 2] if samples else speedup / (n_high / n_low)
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    efficiency = _median(samples) if samples else speedup / (n_high / n_low)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {

@@ -95,7 +95,9 @@ class GramSolver:
             patterns, inverse = unique_bool_rows(self._mask[nan_rows])
             inverse = inverse.ravel()
             counts = np.bincount(inverse, minlength=len(patterns))
-            max_groups = max(1, budget_bytes // (width * width * 8))
+            # budget 0 truly disables the cache (all NaN rows accumulate
+            # on demand per pattern instead)
+            max_groups = budget_bytes // (width * width * 8)
             kept = np.flatnonzero(counts >= 2)
             if len(kept) > max_groups:
                 kept = np.sort(kept[np.argsort(-counts[kept], kind="stable")[:max_groups]])

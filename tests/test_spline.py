@@ -63,6 +63,57 @@ def test_interior_only_and_max_gap():
     assert (out[obs] == s[obs]).all()
 
 
+def test_spline_query_matches_kernel_on_duckdb_grid(spark):
+    """Cross-engine value check for the driver's gap_spline_1h query
+    (which has no SQL oracle): DuckDB independently materializes the
+    1h grid from the raw events parquet — same SQL the driver oracle
+    uses for the linear fills — the engine's spline KERNEL runs on that
+    grid in-process, and the Spark query must match value-for-value."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    grid = con.execute(
+        f"""
+WITH tier AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(value) / count(value) AS avg_value
+  FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT event_type, min(bucket) lo, max(bucket) hi FROM tier GROUP BY 1)
+)
+SELECT g.event_type, g.bucket, t.avg_value
+FROM grid g LEFT JOIN tier t USING (event_type, bucket)
+ORDER BY 1, 2
+"""
+    ).fetchdf()
+
+    expected = {}
+    for key, part in grid.groupby("event_type"):
+        part = part.sort_values("bucket").reset_index(drop=True)
+        filled = spline_interpolate(part["avg_value"].astype("float64"), max_gap=6)
+        expected.update(
+            {
+                (key, ts): round(v, 6)
+                for ts, v in zip(part["bucket"], filled)
+                if not np.isnan(v)
+            }
+        )
+
+    got = entrymod.q_gap_spline_1h(spark, sf_dir).toPandas()
+    got_map = {
+        (r.event_type, r.bucket): r.filled for r in got.itertuples() if not pd.isna(r.filled)
+    }
+    assert len(got) == len(grid)  # full grid emitted
+    assert set(got_map) == set(expected)
+    mismatches = [k for k in expected if got_map[k] != expected[k]]
+    assert not mismatches, f"{len(mismatches)} cells differ, e.g. {mismatches[:3]}"
+
+
 def test_spark_spline_fill_matches_kernel(spark):
     import datetime
 
