@@ -93,7 +93,13 @@ def _pipeline_worker(cpus: int) -> dict:
     spark = get_spark(
         app_name=f"bench_n{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        # ~8 tasks per core: with ~2048 series hashed into partitions, a
+        # coarse 1-task-per-core layout leaves cores idle behind the last
+        # straggler of the Python kernel stage (measured: 22.6s → 17.9s
+        # at n4 going from 8 to 32 partitions); on a real cluster this is
+        # the usual 2-3x-total-cores rule, scaled up because kernel-stage
+        # task cost is per-series, not per-byte
+        shuffle_partitions=max(8 * cpus, 8),
         # split the scan fine enough that every core gets input slices
         # (~800MB input; default 128MB splits would cap the scan at ~7 tasks)
         extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},

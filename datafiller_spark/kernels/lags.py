@@ -58,12 +58,35 @@ def all_nan_columns(matrix: np.ndarray) -> np.ndarray:
 def interpolate_small_gaps(series: pd.Series, n: int) -> pd.Series:
     """Linearly interpolate NaN runs of length ≤ ``n``; leave longer runs.
 
-    Run detection labels maximal stretches of equal null-ness; a stretch's
-    size gates whether its interpolated values are kept.
+    Semantics (and floats) identical to the reference's pandas form
+    ``series.interpolate().where(short_run, series)``: positional linear
+    interpolation (pandas method='linear' ignores the index and, like
+    this, computes through ``np.interp``), leading NaNs preserved,
+    trailing NaNs in short runs take the last observed value. The pandas
+    groupby/transform run-length machinery cost ~5 ms per 5760-bucket
+    series — ~25% of the whole per-series kernel — so runs are labeled
+    with a flag-diff cumsum instead.
     """
     if not isinstance(n, int):
         raise EngineTypeError("n must be an int")
-    missing = series.isna()
-    run_id = (missing != missing.shift()).cumsum()
-    short_run = series.groupby(run_id).transform("size") <= n
-    return series.interpolate().where(short_run, series)
+    vals = series.to_numpy(dtype=np.float64, copy=True)
+    missing = np.isnan(vals)
+    if not missing.any():
+        return series.copy()
+    obs = np.flatnonzero(~missing)
+    if not obs.size:
+        return series.copy()
+
+    nan_pos = np.flatnonzero(missing)
+    vals[nan_pos] = np.interp(nan_pos, obs, vals[obs])
+    vals[: obs[0]] = np.nan  # leading NaNs stay (forward-fill direction)
+
+    # NaN runs longer than n keep their NaNs: label maximal equal-nullness
+    # stretches by flag-diff cumsum, measure with bincount
+    change = np.empty(len(missing), dtype=bool)
+    change[0] = True
+    np.not_equal(missing[1:], missing[:-1], out=change[1:])
+    run_id = np.cumsum(change) - 1
+    run_len = np.bincount(run_id)
+    vals[missing & (run_len[run_id] > n)] = np.nan
+    return pd.Series(vals, index=series.index, name=series.name)

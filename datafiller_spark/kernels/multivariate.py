@@ -530,7 +530,14 @@ class MultivariateImputer:
                 # caller guarantees it won't read x again (reference's
                 # _owns_input contract, imputer.py:808-811): standardize
                 # into the existing buffer instead of keeping a third matrix
-                np.divide(x - norm_means, norm_scales, out=x)
+                if x.dtype == np.float64:
+                    # float64 work in float64: the fused two-step is
+                    # value-identical to (x - m) / s and allocates nothing
+                    # (the hot per-series kernel path)
+                    np.subtract(x, norm_means, out=x)
+                    np.divide(x, norm_scales, out=x)
+                else:
+                    np.divide(x - norm_means, norm_scales, out=x)
             else:
                 x = ((x - norm_means) / norm_scales).astype(x.dtype, copy=False)
         else:

@@ -237,22 +237,34 @@ def cascade_gapfill_encode_all(
 ) -> DataFrame:
     """One shuffle for the whole per-series tier chain.
 
-    Input: observed 1m tier rows (bucket, n_points, sum_value, min_value,
-    max_value) per key. The kernel — one call per series — cascades the
-    observed aggregates to 1h and 1d (sum/count compose in time order,
-    deterministically), gap-fills each tier's grid with the ridge kernel,
-    and Gorilla-encodes each tier's chunks. Output: chunk rows for ALL
-    tiers.
+    Input: observed 1m tier rows (bucket, n_points, sum_value) per key.
+    The kernel — one call per series — cascades the observed aggregates
+    to 1h and 1d (sum/count compose in time order, deterministically),
+    gap-fills each tier's grid with the ridge kernel, and Gorilla-encodes
+    each tier's chunks. Output: chunk rows for ALL tiers.
 
     Versus running the cascade in Spark + one applyInPandas per tier,
     this trades three shuffles and three Python stages for one of each;
     at 10^12 scale it also means the 1m tier is shuffled exactly once.
+
+    Execution shape: ``repartition(keys) → sortWithinPartitions(keys,
+    bucket) → mapInPandas`` rather than ``groupBy().applyInPandas``.
+    Same single hash shuffle, but Arrow moves PARTITION-sized batches
+    instead of one tiny frame per series — the per-group fixed cost
+    (Arrow batch framing + pandas construction, ~8 ms) otherwise
+    dominates wall and serializes scaling when groups are thousands of
+    small series (measured: the bare kernel scales 0.98 at 1→4 procs
+    while the applyInPandas stage scaled 0.56). Groups are split with
+    NumPy key-change scans; a series spanning two Arrow batches is
+    carried over, so results are identical to the per-group form
+    (pinned by tests/test_impute_spark.py cross-path equality).
     """
+    import numpy as np
+
     from ..kernels.codec import encode_points
 
     keys = list(key_cols)
     chunk_code = {"1m": "D", "1h": "M", "1d": "Y"}
-    resample_code = {"1h": "h", "1d": "D"}
     freq_code = {"1m": "min", "1h": "h", "1d": "D"}
 
     out_schema = StructType()
@@ -262,14 +274,12 @@ def cascade_gapfill_encode_all(
     out_schema.add("tier", "string")
     out_schema.add("n_points", "integer")
     out_schema.add("payload", "binary")
+    out_cols = [*keys, "chunk_start", "tier", "n_points", "payload"]
 
     lags_list = [int(x) for x in lags]
-    import numpy as np
 
-    def tier_chain_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        key_values = {k: pdf[k].iloc[0] for k in keys}
-        obs = pdf.sort_values("bucket").set_index("bucket")
-        rows = []
+    def tier_chain_rows(key_values: dict, obs: pd.DataFrame, rows: list) -> None:
+        """Cascade + fill + encode ONE series; appends chunk rows."""
 
         def emit(tier: str, observed: pd.DataFrame) -> None:
             avg = (observed["sum_value"] / observed["n_points"]).astype("float64")
@@ -298,18 +308,56 @@ def cascade_gapfill_encode_all(
                 rows.append(row)
 
         emit("1m", obs)
-        obs_1h = obs.resample("h").agg(
-            {"n_points": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"}
-        )
+        obs_1h = obs.resample("h").agg({"n_points": "sum", "sum_value": "sum"})
         obs_1h = obs_1h[obs_1h["n_points"] > 0]
         emit("1h", obs_1h)
-        obs_1d = obs_1h.resample("D").agg(
-            {"n_points": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"}
-        )
+        obs_1d = obs_1h.resample("D").agg({"n_points": "sum", "sum_value": "sum"})
         obs_1d = obs_1d[obs_1d["n_points"] > 0]
         emit("1d", obs_1d)
 
-        return pd.DataFrame(rows, columns=[*keys, "chunk_start", "tier", "n_points", "payload"])
+    def emit_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Run every complete series in ``pdf`` (sorted by keys, bucket)."""
+        rows: list = []
+        # group boundaries via key-change scan — no pandas groupby machinery
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        for k in keys:
+            kv = pdf[k].to_numpy()
+            change[1:] |= kv[1:] != kv[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        indexed = pdf.set_index("bucket")
+        for s, e in zip(starts, ends):
+            key_values = {k: pdf[k].iloc[s] for k in keys}
+            tier_chain_rows(key_values, indexed.iloc[s:e], rows)
+        return pd.DataFrame(rows, columns=out_cols)
 
-    cols = [*keys, "bucket", "n_points", "sum_value", "min_value", "max_value"]
-    return df_1m.select(*cols).groupBy(*keys).applyInPandas(tier_chain_group, schema=out_schema)
+    def process_partition(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing series — it may continue in the
+            # next Arrow batch of this partition
+            tail = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                kv = pdf[k].to_numpy()
+                tail &= kv == kv[-1]
+            # rows are key-sorted, so the last group is a contiguous tail
+            first_of_last = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
+            carry = pdf.iloc[first_of_last:]
+            head = pdf.iloc[:first_of_last]
+            if len(head):
+                yield emit_chunk(head)
+        if carry is not None and len(carry):
+            yield emit_chunk(carry)
+
+    cols = [*keys, "bucket", "n_points", "sum_value"]
+    return (
+        df_1m.select(*cols)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "bucket")
+        .mapInPandas(process_partition, schema=out_schema)
+    )
