@@ -372,6 +372,38 @@ def q_simhash(spark, sf_dir):
     return simhash_duplicates(tok, "doc_id", "tokens")
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the exact n-gram near-dup pairs → one
+    canonical doc per duplicate cluster (min-label propagation, one
+    shuffle per round). Oracle: DuckDB recursive-CTE transitive closure
+    over the same pair set."""
+    from datafiller_spark.operators import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dup_clusters(pairs, "id_a", "id_b")
+
+
+def q_sample_by_hash(spark, sf_dir):
+    """Deterministic 10% md5-hash sample — reproducible across engines,
+    partitionings, and reruns (what incremental curation pipelines need
+    instead of RNG sampling)."""
+    from datafiller_spark.operators import sample_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_by_hash(docs, "doc_id", 0.10, salt="r3").select("doc_id", "source")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """First-fit contiguous packing of sequences into 4096-token bins
+    per source (pretraining context packing) — one window cumsum."""
+    from datafiller_spark.operators import pack_sequences
+
+    tok = tokenized_sequences(spark, sf_dir)
+    packed = pack_sequences(tok, ["source"], ["event_ts", "doc_id"], "n_tok", 4096)
+    return packed.select("source", "doc_id", "n_tok", "bin_id", "bin_offset")
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -595,6 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rollup_1h_cascade": q_token_rollup_1h_cascade,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
+        "sample_by_hash": q_sample_by_hash,
+        "pack_sequences": q_pack_sequences,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
@@ -905,6 +940,48 @@ SELECT f.fp, g.group_size, f.doc_id, g.canonical_id
 FROM fps f JOIN groups g USING (fp)
 """
     sql["ngram_jaccard"] = _SQL_SHINGLES
+    sql["dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_SQL_SHINGLES})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+canon AS (SELECT id AS doc_id, min(label) AS canonical_id FROM reach GROUP BY 1),
+sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+SELECT c.doc_id, c.canonical_id, s.cluster_size
+FROM canon c JOIN sizes s USING (canonical_id)
+"""
+    sql["sample_by_hash"] = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 8))::BIGINT % 10000 < 1000
+"""
+    sql["pack_sequences"] = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 1440) * INTERVAL 1 MINUTE AS event_ts,
+         {_SQL_NTOK} AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY event_ts, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok
+)
+SELECT source, doc_id, n_tok,
+       CAST(floor(start / 4096.0) AS BIGINT) AS bin_id,
+       CAST(start % 4096 AS BIGINT) AS bin_offset
+FROM packed
+"""
     sql["cosine_topk"] = """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (

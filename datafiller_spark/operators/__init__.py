@@ -5,6 +5,7 @@ from .impute import model_gapfill, model_gapfill_encode, cascade_gapfill_encode_
 from .encode import encode_tier, decode_tier
 from .text import tokenize_counts, quality_score, lang_id, fingerprint, token_count
 from .dedup import (
+    dup_clusters,
     exact_duplicates,
     ngram_jaccard_pairs,
     minhash_signatures,
@@ -12,6 +13,7 @@ from .dedup import (
     simhash_duplicates,
     simhash_near_dupes,
 )
+from .sample import pack_sequences, sample_by_hash
 from .similarity import (
     cosine_topk,
     embedding_near_dupes,
@@ -46,8 +48,11 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "token_count",
+    "dup_clusters",
     "exact_duplicates",
     "ngram_jaccard_pairs",
+    "sample_by_hash",
+    "pack_sequences",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_duplicates",

@@ -226,6 +226,79 @@ def minhash_lsh_pairs(
     return out
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one canonical id
+    per duplicate cluster (the "keep one copy per cluster" step every
+    dedup pipeline ends with; pairs alone under-delete when dups chain
+    A~B~C without A~C).
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its neighbors' labels AND then shortcuts through
+    its label's own label (label-of-label), so labels race down long
+    paths exponentially — O(log diameter) rounds, two shuffles each,
+    instead of O(diameter) for plain propagation. Each round is
+    ``localCheckpoint``-ed so the plan doesn't grow with iterations.
+    Deterministic: the canonical id is the cluster's minimum id.
+
+    Output: (doc_id, canonical_id, cluster_size) for every node that
+    appears in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        cand = labels.join(prop, labels["id"] == prop["src"], "left").select(
+            labels["id"],
+            F.least(labels["label"], F.coalesce(prop["nbr_label"], labels["label"])).alias(
+                "label"
+            ),
+        )
+        # pointer jump: adopt my label's own (possibly smaller) label
+        mapping = cand.select(F.col("id").alias("__mid"), F.col("label").alias("__mlabel"))
+        new_labels = (
+            cand.join(mapping, cand["label"] == mapping["__mid"], "left")
+            .select(
+                cand["id"],
+                F.least(cand["label"], F.coalesce("__mlabel", cand["label"])).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
 @F.pandas_udf(LongType())
 def _simhash64(tokens: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash over int token-id arrays."""

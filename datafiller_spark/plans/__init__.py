@@ -1,5 +1,6 @@
 from .pipeline import (
     PipelineResult,
+    apply_chunk_retention,
     apply_retention,
     latest_snapshot_id,
     read_snapshot,
@@ -14,6 +15,7 @@ __all__ = [
     "read_snapshots",
     "latest_snapshot_id",
     "apply_retention",
+    "apply_chunk_retention",
     "PipelineResult",
     "read_high_water",
     "write_high_water",

@@ -531,3 +531,46 @@ def apply_retention(spark: SparkSession, output_dir: str, tier: str, keep_after)
     df.write.mode("overwrite").parquet(tmp)
     _replace_dir(path, tmp)
     return kept
+
+
+def apply_chunk_retention(
+    spark: SparkSession,
+    output_dir: str,
+    tier: str,
+    key_cols: list[str],
+    keep_after,
+    value_col: str = "avg_value",
+) -> int:
+    """Retention over the ENCODED chunks of a tier.
+
+    Chunks whose whole calendar period precedes ``keep_after`` drop by
+    the ``chunk_start`` predicate alone — no payload is ever decoded
+    (the Iceberg partition-drop analogue); only the single boundary
+    chunk per key is decoded, filtered to ``bucket >= keep_after``, and
+    re-encoded. Work is O(keys), not O(points). Returns chunks retained.
+    """
+    from ..operators.encode import _CHUNK_UNIT, decode_tier, encode_tier
+
+    keys = list(key_cols)
+    path = os.path.join(output_dir, f"chunks_tier={tier}")
+    _heal_dir(path)
+    df = spark.read.parquet(path)
+    boundary = F.date_trunc(_CHUNK_UNIT[tier], F.lit(keep_after))
+    whole = df.where(F.col("chunk_start") >= F.lit(keep_after))
+    partial = df.where(
+        (F.col("chunk_start") == boundary) & (F.col("chunk_start") < F.lit(keep_after))
+    )
+    reencoded = encode_tier(
+        decode_tier(partial, keys, "bucket", value_col).where(
+            F.col("bucket") >= F.lit(keep_after)
+        ),
+        keys,
+        "bucket",
+        value_col,
+        tier,
+    )
+    retained = whole.unionByName(reencoded)
+    tmp = path + "__merge_tmp"
+    retained.write.mode("overwrite").parquet(tmp)
+    _replace_dir(path, tmp)
+    return spark.read.parquet(path).count()
