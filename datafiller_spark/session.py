@@ -44,7 +44,13 @@ def get_spark(
         # one shuffle partition per core locally; on a real cluster this is
         # set to ~2-3x total executor cores (AQE coalesces the excess).
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        if n == "*":
+            shuffle_partitions = cpus
+        elif "," in n:  # local-cluster[N,coresPerExecutor,mem]
+            parts = n.split(",")
+            shuffle_partitions = int(parts[0]) * int(parts[1])
+        else:
+            shuffle_partitions = int(n)
 
     builder = (
         SparkSession.builder.appName(app_name)

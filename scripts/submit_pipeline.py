@@ -12,10 +12,11 @@ Usage (multi-executor cluster):
       --output <warehouse-path> \
       [--resume] [--salt-buckets 16]
 
-The same script backs the sandbox scaling evidence (bench.py runs it
-in-process at local[N] and local[4N]). On an Iceberg catalog, pass the
-table name via --input-table instead of a path; snapshot pinning comes
-free from the checkpoint's high-water protocol (plans/checkpoint.py).
+The same pipeline backs the sandbox scaling evidence (bench.py runs it
+in-process at N vs 4N parallelism — thread mode local[N] or real
+executor JVMs via local-cluster[N,1,4096]). Resumes anchor to a
+snapshot: every commit writes immutable per-snapshot high-water marks
+(plans/checkpoint.py); pass --pin-snapshot to re-anchor an older one.
 """
 
 from __future__ import annotations
@@ -36,6 +37,11 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--min-samples-train", type=int, default=20)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--pin-snapshot",
+        default=None,
+        help="resume anchored to this snapshot id (default: current head)",
+    )
     ap.add_argument("--fused", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -58,6 +64,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         salt_col="doc_id",
         resume=args.resume,
+        pin_snapshot=args.pin_snapshot,
         fused=args.fused,
         collect_metrics=not args.fused,
     )
@@ -66,6 +73,7 @@ def main() -> None:
             {
                 "wall_sec": round(time.time() - t0, 2),
                 "points": res.points,
+                "snapshot_id": res.snapshot_id,
                 "counters": res.counters,
             }
         )
