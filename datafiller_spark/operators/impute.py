@@ -156,6 +156,35 @@ def gapfill_metrics(
     )
 
 
+def _chunk_slices(idx, ts_seconds, period_code):
+    """(chunk_start, start, end) slices of a SORTED DatetimeIndex grouped
+    by calendar period, in one O(n) pass. Day periods are pure int64
+    arithmetic (the hot 1m-tier case: the per-chunk ``period == start``
+    mask scans cost ~4 ms per 5760-bucket series); month/year periods
+    (coarse tiers, few rows) go through ``to_period`` once."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(ts_seconds)
+    if not n:
+        return
+    if period_code == "D":
+        trunc = ts_seconds - ts_seconds % 86400
+        cut = np.flatnonzero(np.diff(trunc)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [n]))
+        for s, e in zip(starts, ends):
+            yield pd.Timestamp(int(trunc[s]), unit="s"), int(s), int(e)
+    else:
+        period = idx.to_period(period_code).start_time
+        tr = period.view("int64")
+        cut = np.flatnonzero(np.diff(tr)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [n]))
+        for s, e in zip(starts, ends):
+            yield period[s], int(s), int(e)
+
+
 def model_gapfill_encode(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -209,15 +238,13 @@ def model_gapfill_encode(
         idx = filled.index
         vals = filled[value_col].to_numpy()
         ts = idx.view("int64") // 10**9
-        period = idx.to_period(chunk_unit).start_time
         rows = []
-        for chunk_start in period.unique():
-            mask = np.asarray(period == chunk_start)
-            payload = encode_points(ts[mask].astype(np.int64), vals[mask])
+        for chunk_start, s, e in _chunk_slices(idx, ts, chunk_unit):
+            payload = encode_points(ts[s:e].astype(np.int64), vals[s:e])
             row = dict(key_values)
             row["chunk_start"] = chunk_start
             row["tier"] = tier
-            row["n_points"] = int(mask.sum())
+            row["n_points"] = int(e - s)
             row["payload"] = payload
             rows.append(row)
         return pd.DataFrame(rows, columns=[*keys, "chunk_start", "tier", "n_points", "payload"])
@@ -278,12 +305,27 @@ def cascade_gapfill_encode_all(
 
     lags_list = [int(x) for x in lags]
 
-    def tier_chain_rows(key_values: dict, obs: pd.DataFrame, rows: list) -> None:
-        """Cascade + fill + encode ONE series; appends chunk rows."""
+    def _cascade_sums(ts_sec: np.ndarray, npts: np.ndarray, sv: np.ndarray, step: int):
+        """Re-aggregate SORTED observed buckets to a coarser step in one
+        ``np.add.reduceat`` pass — the output equals pandas
+        ``resample().agg(sum)`` filtered to non-empty buckets (both sum
+        sequentially in time order; only observed buckets are emitted)."""
+        trunc = ts_sec - ts_sec % step
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(trunc)) + 1))
+        return (
+            trunc[starts],
+            np.add.reduceat(npts, starts),
+            np.add.reduceat(sv, starts),
+        )
 
-        def emit(tier: str, observed: pd.DataFrame) -> None:
-            avg = (observed["sum_value"] / observed["n_points"]).astype("float64")
-            frame = pd.DataFrame({"avg_value": avg}).asfreq(freq_code[tier])
+    def tier_chain_rows(key_values: dict, ts_sec, npts, sv, rows: list) -> None:
+        """Cascade + fill + encode ONE series (sorted arrays); appends
+        chunk rows."""
+
+        def emit(tier: str, t: np.ndarray, n: np.ndarray, s_: np.ndarray) -> None:
+            avg = s_.astype("float64") / n
+            index = pd.DatetimeIndex(t.astype("datetime64[s]"))
+            frame = pd.DataFrame({"avg_value": avg}, index=index).asfreq(freq_code[tier])
             imputer = TimeSeriesImputer(
                 lags=lags_list,
                 min_samples_train=min_samples_train,
@@ -297,23 +339,19 @@ def cascade_gapfill_encode_all(
             idx = filled.index
             ts = idx.view("int64") // 10**9
             vals = filled["avg_value"].to_numpy()
-            period = idx.to_period(chunk_code[tier]).start_time
-            for chunk_start in period.unique():
-                mask = np.asarray(period == chunk_start)
+            for chunk_start, s, e in _chunk_slices(idx, ts, chunk_code[tier]):
                 row = dict(key_values)
                 row["chunk_start"] = chunk_start
                 row["tier"] = tier
-                row["n_points"] = int(mask.sum())
-                row["payload"] = encode_points(ts[mask].astype(np.int64), vals[mask])
+                row["n_points"] = int(e - s)
+                row["payload"] = encode_points(ts[s:e].astype(np.int64), vals[s:e])
                 rows.append(row)
 
-        emit("1m", obs)
-        obs_1h = obs.resample("h").agg({"n_points": "sum", "sum_value": "sum"})
-        obs_1h = obs_1h[obs_1h["n_points"] > 0]
-        emit("1h", obs_1h)
-        obs_1d = obs_1h.resample("D").agg({"n_points": "sum", "sum_value": "sum"})
-        obs_1d = obs_1d[obs_1d["n_points"] > 0]
-        emit("1d", obs_1d)
+        emit("1m", ts_sec, npts, sv)
+        t1h, n1h, s1h = _cascade_sums(ts_sec, npts, sv, 3600)
+        emit("1h", t1h, n1h, s1h)
+        t1d, n1d, s1d = _cascade_sums(t1h, n1h, s1h, 86400)
+        emit("1d", t1d, n1d, s1d)
 
     def emit_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         """Run every complete series in ``pdf`` (sorted by keys, bucket)."""
@@ -326,10 +364,12 @@ def cascade_gapfill_encode_all(
             change[1:] |= kv[1:] != kv[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
-        indexed = pdf.set_index("bucket")
+        ts_sec = pdf["bucket"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        npts = pdf["n_points"].to_numpy()
+        sv = pdf["sum_value"].to_numpy()
         for s, e in zip(starts, ends):
             key_values = {k: pdf[k].iloc[s] for k in keys}
-            tier_chain_rows(key_values, indexed.iloc[s:e], rows)
+            tier_chain_rows(key_values, ts_sec[s:e], npts[s:e], sv[s:e], rows)
         return pd.DataFrame(rows, columns=out_cols)
 
     def process_partition(batches):
