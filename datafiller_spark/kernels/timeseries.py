@@ -238,10 +238,17 @@ class TimeSeriesImputer:
         n_interp = 0
         if self.interpolate_gaps_less_than is not None:
             df = df.copy()
-            before_nan = int(df[numeric_cols].isna().sum().sum())
             for col in numeric_cols:
-                df[col] = interpolate_small_gaps(df[col], self.interpolate_gaps_less_than)
-            n_interp = before_nan - int(df[numeric_cols].isna().sum().sum())
+                series = df[col]
+                filled = interpolate_small_gaps(series, self.interpolate_gaps_less_than)
+                # NaN bookkeeping on the raw arrays: the frame-level
+                # isna().sum().sum() double-selection cost more than the
+                # interpolation itself on per-series kernels
+                n_interp += int(
+                    np.isnan(series.to_numpy(dtype=np.float64, copy=False)).sum()
+                    - np.isnan(filled.to_numpy()).sum()
+                )
+                df[col] = filled
 
         if mixed:
             return self._impute_mixed(
