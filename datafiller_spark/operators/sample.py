@@ -58,6 +58,11 @@ def pack_sequences(
 
     Output: input columns + ``bin_id`` (long) + ``bin_offset`` (long,
     token offset of the document inside its bin).
+
+    Precision note: the bin division goes through float64 (as does the
+    DuckDB oracle), exact while a key's running token count stays below
+    2^53 ≈ 9·10^15 — beyond any single source's plausible token count;
+    shard the key first if one ever approaches it.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

@@ -6,6 +6,7 @@ from .pipeline import (
     read_snapshot,
     read_snapshots,
     run_pipeline,
+    scan_chunks,
 )
 from .checkpoint import read_high_water, write_high_water, incremental_filter
 
@@ -16,6 +17,7 @@ __all__ = [
     "latest_snapshot_id",
     "apply_retention",
     "apply_chunk_retention",
+    "scan_chunks",
     "PipelineResult",
     "read_high_water",
     "write_high_water",

@@ -533,6 +533,40 @@ def apply_retention(spark: SparkSession, output_dir: str, tier: str, keep_after)
     return kept
 
 
+def scan_chunks(
+    spark: SparkSession,
+    output_dir: str,
+    tier: str,
+    key_cols: list[str],
+    start=None,
+    end=None,
+    value_col: str = "avg_value",
+) -> DataFrame:
+    """Read a tier back from its Gorilla chunks for a time range,
+    decoding ONLY the chunks whose calendar period intersects
+    [start, end) — the chunk_start predicate prunes at the parquet scan
+    (row-group min/max stats), so a narrow time window over years of
+    history touches a handful of chunk rows per key. Bucket-level edges
+    are trimmed after decode. Returns (keys…, bucket, value)."""
+    from ..operators.encode import _CHUNK_UNIT, decode_tier
+
+    df = spark.read.parquet(os.path.join(output_dir, f"chunks_tier={tier}"))
+    if start is not None:
+        # a chunk starting before `start` may still contain it: include
+        # the whole boundary period, trim per-bucket after decode
+        df = df.where(
+            F.col("chunk_start") >= F.date_trunc(_CHUNK_UNIT[tier], F.lit(start))
+        )
+    if end is not None:
+        df = df.where(F.col("chunk_start") < F.lit(end))
+    out = decode_tier(df, list(key_cols), "bucket", value_col)
+    if start is not None:
+        out = out.where(F.col("bucket") >= F.lit(start))
+    if end is not None:
+        out = out.where(F.col("bucket") < F.lit(end))
+    return out
+
+
 def apply_chunk_retention(
     spark: SparkSession,
     output_dir: str,

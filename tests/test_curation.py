@@ -98,6 +98,39 @@ def test_pack_sequences_matches_pandas_reference(spark):
         pack_sequences(df, ["source"], ["event_ts"], "n_tok", 0)
 
 
+def test_scan_chunks_time_range_read(spark, tmp_path):
+    """The chunk read path: a narrow window decodes only intersecting
+    chunk periods and returns exactly the tier rows in range."""
+    from datafiller_spark.plans import run_pipeline, scan_chunks
+    from datafiller_spark.sources import synth_sequences
+
+    seqs = synth_sequences(spark, 3000, mean_tokens=16, span_minutes=3 * 1440).cache()
+    out = str(tmp_path / "scan")
+    run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=True)
+
+    start = datetime.datetime(2024, 1, 2, 6, 0)
+    end = datetime.datetime(2024, 1, 2, 18, 0)
+    got = scan_chunks(spark, out, "1m", ["source"], start, end)
+    tier = spark.read.parquet(os.path.join(out, "tier=1m")).where(
+        (F.col("bucket") >= F.lit(start)) & (F.col("bucket") < F.lit(end))
+    )
+    a = sorted((r.source, r.bucket, round(r.avg_value, 9)) for r in got.collect())
+    b = sorted(
+        (r.source, r.bucket, round(r.avg_value, 9))
+        for r in tier.select("source", "bucket", "avg_value").collect()
+    )
+    assert a == b and len(a) > 0
+
+    # pruning: only day-2 chunks (one period per key) are decoded
+    chunks = spark.read.parquet(os.path.join(out, "chunks_tier=1m"))
+    touched = chunks.where(
+        (F.col("chunk_start") >= F.lit(datetime.datetime(2024, 1, 2)))
+        & (F.col("chunk_start") < F.lit(end))
+    ).count()
+    assert touched < chunks.count()
+
+
 def test_apply_chunk_retention_boundary_reencode(spark, tmp_path):
     """Whole expired chunks drop by metadata; the boundary chunk is
     decoded, filtered, re-encoded — decoded survivors must equal the
