@@ -65,16 +65,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
     Output: (id_a, id_b, inter, union_size, jaccard) with id_a < id_b.
+
+    Quadratic in posting-list density — this is the VERIFIER; the scale
+    path is ``minhash_lsh_pairs``. If this form must run on a larger
+    corpus, ``max_posting_len`` caps the self-join: shingles shared by
+    more than that many documents are dropped before pairing (a
+    boilerplate shingle carries almost no Jaccard signal, but its
+    posting list alone costs O(len²) pairs). With a cap the counts are
+    a lower bound on the true intersection, so reported jaccard values
+    can only shrink — pairs never appear that the exact form would
+    reject. Default None = exact (the oracle-checked configuration).
     """
     shingled = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
     sizes = shingled.select("id", F.size("grams").alias("n_grams"))
     posting = shingled.select("id", F.explode("grams").alias("gram"))
+    if max_posting_len is not None:
+        bucket_w = Window.partitionBy("gram")
+        posting = (
+            posting.withColumn("__pl", F.count("*").over(bucket_w))
+            .where(F.col("__pl") <= max_posting_len)
+            .drop("__pl")
+        )
 
     a = posting.alias("a")
     b = posting.alias("b")

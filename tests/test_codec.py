@@ -95,3 +95,42 @@ def test_value_roundtrip_property(vals):
 def test_timestamp_roundtrip_property(deltas):
     ts = np.cumsum(np.asarray(deltas, dtype=np.int64)) if deltas else np.array([], dtype=np.int64)
     _roundtrip_ts(ts)
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trip (hypothesis): arbitrary float64 bit patterns
+# (NaN/inf/subnormals/-0.0) and any sorted int64-second timestamps must
+# survive encode∘decode exactly — the docstring's contract, fuzzed.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.just(-0.0),
+            st.just(5e-324),  # smallest subnormal
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    deltas=st.lists(st.integers(min_value=0, max_value=10**10), min_size=0, max_size=299),
+    t0=st.integers(min_value=-(2**40), max_value=2**40),
+)
+def test_codec_roundtrip_property(data, deltas, t0):
+    from datafiller_spark.kernels.codec import decode_points, encode_points
+
+    n = len(data)
+    ts = np.empty(n, dtype=np.int64)
+    ts[0] = t0
+    for i in range(1, n):
+        ts[i] = ts[i - 1] + (deltas[i - 1] if i - 1 < len(deltas) else 1) + 1  # strictly increasing
+    vals = np.asarray(data, dtype=np.float64)
+
+    dts, dvals = decode_points(encode_points(ts, vals))
+    np.testing.assert_array_equal(dts, ts)
+    # bit-pattern equality: NaN payloads and signed zeros included
+    np.testing.assert_array_equal(dvals.view(np.uint64), vals.view(np.uint64))

@@ -58,6 +58,30 @@ def test_minhash_lsh_catches_exact_pairs(docs_with_dupes):
     assert got <= exact  # LSH never invents pairs the verifier rejects
 
 
+def test_ngram_jaccard_posting_cap_is_conservative(spark):
+    """With a posting-list cap, pairs are a SUBSET of the exact output
+    (jaccard can only shrink), and a boilerplate shingle shared by
+    everyone stops generating quadratic pairs."""
+    boiler = "lorem ipsum dolor"  # 3-gram shared by every doc
+    rows = [(i, f"{boiler} unique tail {i} {i + 1} {i + 2}") for i in range(30)]
+    rows += [
+        (100, "a very distinctive document about tier rollups here"),
+        (101, "a very distinctive document about tier rollups there"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3, max_posting_len=10).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] for p in capped)
+    assert (100, 101) in capped  # distinctive pair survives the cap
+
+
 def test_simhash_groups_identical_token_arrays(spark):
     rows = [
         ("a", [1, 2, 3, 4, 5, 6, 7, 8]),

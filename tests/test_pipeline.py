@@ -341,3 +341,33 @@ def test_snapshot_log_chains_commits(spark, tmp_path):
     assert root.parent_id is None and not root.resume
     assert head.parent_id == root.snapshot_id and head.resume
     assert json.loads(head.counters)["tier_1m_rows"] >= 0
+
+
+def test_retention_then_resume_does_not_resurrect_dropped_data(spark, tmp_path):
+    """Retention and the incremental contract compose: dropping expired
+    buckets does not touch the high-water marks, so a later resume (fed
+    the FULL raw table again) reprocesses only the open bucket onward —
+    expired history stays dropped, new rows merge in."""
+    full = synth_sequences(spark, 2000, mean_tokens=16, span_minutes=240).cache()
+    cutoff = datetime.datetime(2024, 1, 1, 3, 0)
+    first = full.where(F.col("event_ts") < F.lit(cutoff))
+
+    out = str(tmp_path / "retres")
+    run_pipeline(spark, first, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False)
+    keep_after = datetime.datetime(2024, 1, 1, 1, 0)
+    apply_retention(spark, out, "1m", keep_after)
+
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False, resume=True)
+
+    persisted = spark.read.parquet(os.path.join(out, "tier=1m"))
+    # expired buckets stay dropped
+    assert persisted.agg(F.min("bucket")).first()[0] >= keep_after
+    # retained + new rows equal the single-shot rollup restricted to the kept range
+    single = rollup(full, ["source"], "event_ts", "n_tok", "1m").where(
+        F.col("bucket") >= F.lit(keep_after)
+    )
+    a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
+    b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
+    assert a == b

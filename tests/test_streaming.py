@@ -95,3 +95,47 @@ def test_streaming_tier_pipeline_end_to_end(spark, tmp_path):
     }
     for (src_key, bucket), (n, s) in a.items():
         assert decoded[(src_key, bucket)] == s / n
+
+
+def test_late_row_beyond_watermark_healed_by_batch_resume(spark, tmp_path):
+    """The division of labor the module docstring promises: the stream
+    handles in-watermark updates; a row arriving LATER than the
+    watermark is the batch checkpoint path's job — a resume run over the
+    full table must merge it into the streamed tier, ending byte-equal
+    to a single-shot batch rollup of everything."""
+    import datetime
+    import os
+
+    from datafiller_spark.operators import rollup
+    from datafiller_spark.plans import run_pipeline
+    from datafiller_spark.streaming import start_tier_pipeline_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "source string, event_ts timestamp, n_tok int"
+    on_time = [("a", base + datetime.timedelta(minutes=m, seconds=30), m + 1) for m in range(60)]
+    late = [("a", base + datetime.timedelta(minutes=2, seconds=45), 100)]  # way past watermark
+
+    src = tmp_path / "late_src"
+    out = str(tmp_path / "late_out")
+    spark.createDataFrame(on_time, schema).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(str(src))
+    q = start_tier_pipeline_stream(
+        stream, ["source"], "event_ts", "n_tok",
+        output_dir=out, checkpoint_dir=str(tmp_path / "late_ckpt"),
+        watermark="0 seconds",
+    )
+    q.awaitTermination(120)
+
+    # the late row arrives after the stream finalized its window: heal
+    # through the batch resume path over the full table
+    full = spark.createDataFrame(on_time + late, schema)
+    run_pipeline(spark, full, ["source"], "event_ts", "n_tok", output_dir=out,
+                 gapfill=False, encode=False, resume=True)
+
+    persisted = spark.read.parquet(os.path.join(out, "tier=1m"))
+    single = rollup(full, ["source"], "event_ts", "n_tok", "1m")
+    a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
+    b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
+    assert a == b
