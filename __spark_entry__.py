@@ -940,6 +940,73 @@ SELECT f.fp, g.group_size, f.doc_id, g.canonical_id
 FROM fps f JOIN groups g USING (fp)
 """
     sql["ngram_jaccard"] = _SQL_SHINGLES
+
+    # Full cross-engine mirror of the MinHash-LSH pipeline: identical
+    # md5-based gram hashes, the same seeded affine family (constants
+    # generated once and embedded on both sides), md5 band buckets, the
+    # hot-bucket cap, and exact-Jaccard verification. A hash match here
+    # proves signatures, banding, candidate generation, AND verification
+    # agree value-for-value with an independent engine.
+    from datafiller_spark.operators.dedup import _MERSENNE, _minhash_params
+
+    mh_params = _minhash_params(32)
+    rows_per_band = 32 // 16
+    min_exprs = ",\n      ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE}))"
+        for a, b in mh_params
+    )
+    sql["minhash_lsh"] = f"""
+WITH words AS (
+  SELECT doc_id, str_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+  FROM words WHERE len(w) >= 3
+),
+hashed AS (
+  SELECT doc_id, grams,
+         list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MERSENNE}) AS hs
+  FROM shingled
+),
+sig AS (
+  SELECT doc_id, grams,
+    [
+      {min_exprs}
+    ] AS signature
+  FROM hashed
+),
+banded AS (
+  SELECT s.doc_id, b.band,
+         md5(array_to_string(
+           s.signature[b.band * {rows_per_band} + 1 : b.band * {rows_per_band} + {rows_per_band}],
+           ',')) AS band_hash
+  FROM sig s, (SELECT unnest(range(16)) AS band) b
+),
+capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS bs FROM banded
+  ) WHERE bs <= 200
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.grams, gb.grams)) AS inter,
+         len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS union_size
+  FROM cand c
+  JOIN sig ga ON ga.doc_id = c.id_a
+  JOIN sig gb ON gb.doc_id = c.id_b
+)
+SELECT id_a, id_b, inter, union_size,
+       round(inter * 1.0 / union_size, 6) AS jaccard
+FROM verified
+WHERE round(inter * 1.0 / union_size, 6) >= 0.2
+"""
     sql["dup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({_SQL_SHINGLES})
@@ -1127,10 +1194,12 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
 FROM documents
 """
-    # model_gapfill_1h, gapfill_metrics, minhash_lsh, simhash, ann_lsh_topk:
-    # intentionally no oracle (model-based / probabilistic) → driver records
-    # rows-only checks; the model path is pinned against the REAL reference
-    # library in tests/test_reference_parity.py (bit-exact).
+    # model_gapfill_1h, gapfill_metrics, simhash, ann_lsh_topk, ivf_topk:
+    # intentionally no oracle (model-based / engine-specific hashes /
+    # approximate) → driver records rows-only checks; the model path is
+    # pinned against the REAL reference library in
+    # tests/test_reference_parity.py (bit-exact), the rest by property
+    # tests and recall assertions.
     return sql
 
 

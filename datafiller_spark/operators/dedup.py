@@ -9,9 +9,13 @@ within candidate buckets):
   intersection counts. Exact but quadratic within a shingle's posting
   list; at 100 TB this is the *verifier*, run only inside candidate
   buckets produced by MinHash-LSH.
-- MinHash + LSH: k min-hashes per doc from shingle crc32s (affine hash
-  family mod a Mersenne prime), banded into b buckets; only same-band
-  collisions are verified. Linear shuffle volume; the scale path.
+- MinHash + LSH: k min-hashes per doc from shingle md5-low-32 hashes
+  (affine hash family mod a Mersenne prime), banded into b buckets;
+  only same-band collisions are verified. Linear shuffle volume; the
+  scale path. Every hash (gram → int, band → bucket) is md5-based so
+  the ENTIRE pipeline — signatures, banding, candidate generation,
+  verification — has an exact cross-engine SQL mirror and runs under
+  the DuckDB value oracle, not just a rows-only check.
 - SimHash: 64-bit sign-aggregated token hash via a vectorized pandas
   UDF; near-dups = identical simhash (or small Hamming distance via
   band rotation).
@@ -121,6 +125,13 @@ def _minhash_params(k: int, seed: int = 11) -> list[tuple[int, int]]:
     ]
 
 
+def _gram_hash(g):
+    """Deterministic 31-bit gram hash: low 32 md5 bits mod the Mersenne
+    prime. md5 (not crc32/xxhash) so DuckDB computes the identical
+    value: ``('0x' || substr(md5(g), 1, 8))::BIGINT % p``."""
+    return F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10).cast("long") % _MERSENNE
+
+
 def _shingled_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
 ) -> DataFrame:
@@ -136,10 +147,7 @@ def _shingled_signatures(
     shingled = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
-    hashed = shingled.withColumn(
-        "__hs",
-        F.transform("grams", lambda g: F.crc32(F.encode(g, "utf-8")) % _MERSENNE),
-    )
+    hashed = shingled.withColumn("__hs", F.transform("grams", _gram_hash))
     sig = F.array(
         *[
             F.array_min(F.transform("__hs", lambda h: (h * a + b) % _MERSENNE))
@@ -190,12 +198,22 @@ def minhash_lsh_pairs(
     # returning (the result below is materialized eagerly first), so
     # repeated calls can't accumulate large shingle blocks in storage
     sig_grams = _shingled_signatures(df, id_col, text_col, n, num_hashes).persist()
+    # band bucket = md5 of the comma-joined signature slice (engine- and
+    # SQL-computable, unlike F.hash's murmur)
     banded = sig_grams.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
             )
         ).alias("band", "band_hash"),
     )
