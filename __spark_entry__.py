@@ -1026,6 +1026,96 @@ sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1)
 SELECT c.doc_id, c.canonical_id, s.cluster_size
 FROM canon c JOIN sizes s USING (canonical_id)
 """
+    # Cross-engine mirror of the 64-bit SimHash pipeline. The splitmix64
+    # avalanche is exact mod-2^64 arithmetic: multiplications decompose
+    # into 32-bit halves inside HUGEINT (DuckDB raises on overflow
+    # instead of wrapping), shifts are floor divisions, xor is xor().
+    # Verified bit-for-bit against the NumPy kernel.
+    _M64 = 18446744073709551616
+
+    def _mulmod64(a: str, b: int) -> str:
+        return (
+            f"((({a}) % 4294967296) * ({b % 4294967296}) + "
+            f"(((({a}) % 4294967296) * ({b // 4294967296}) + "
+            f"(({a}) // 4294967296) * ({b % 4294967296})) % 4294967296) "
+            f"* 4294967296) % {_M64}"
+        )
+
+    bitpow = ",\n    ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    _SIM_CTE = f"""
+words AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(str_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks0 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647 AS HUGEINT) AS x
+  FROM words
+),
+h1 AS (SELECT doc_id, {_mulmod64('x', 0x9E3779B97F4A7C15)} AS h FROM toks0),
+h2 AS (SELECT doc_id, xor(h, h // 1073741824) AS h FROM h1),
+h3 AS (SELECT doc_id, {_mulmod64('h', 0xBF58476D1CE4E5B9)} AS h FROM h2),
+h4 AS (SELECT doc_id, xor(h, h // 134217728) AS h FROM h3),
+h5 AS (SELECT doc_id, {_mulmod64('h', 0x94D049BB133111EB)} AS h FROM h4),
+h6 AS (SELECT doc_id, xor(h, h // 2147483648) AS h FROM h5),
+bitpow(bit, pow) AS (
+  VALUES
+    {bitpow}
+),
+votes AS (
+  SELECT t.doc_id, b.bit, b.pow,
+         SUM(CASE WHEN (t.h // b.pow) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h6 t CROSS JOIN bitpow b
+  GROUP BY 1, 2, 3
+),
+usim_nz AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN pow ELSE 0::HUGEINT END) AS usim
+  FROM votes GROUP BY 1
+),
+usim AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, COALESCE(u.usim, 0::HUGEINT) AS usim
+  FROM documents d LEFT JOIN usim_nz u ON CAST(d.doc_id AS VARCHAR) = u.doc_id
+),
+sim AS (
+  SELECT doc_id,
+         CAST(CASE WHEN usim >= 9223372036854775808 THEN usim - {_M64} ELSE usim END AS BIGINT)
+           AS simhash,
+         usim
+  FROM usim
+)
+"""
+    sql["simhash"] = f"""
+WITH {_SIM_CTE},
+groups AS (
+  SELECT simhash, count(*) AS group_size, min(doc_id) AS canonical_id
+  FROM sim GROUP BY 1 HAVING count(*) > 1
+)
+SELECT s.simhash, g.group_size, s.doc_id, g.canonical_id
+FROM sim s JOIN groups g USING (simhash)
+"""
+    sql["simhash_near"] = f"""
+WITH {_SIM_CTE},
+bandpow(band, bpow) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                               (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)),
+banded AS (
+  SELECT s.doc_id, s.simhash, b.band, (s.usim // b.bpow) % 65536 AS val
+  FROM sim s CROSS JOIN bandpow b
+),
+capped AS (
+  SELECT doc_id, simhash, band, val FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, val) AS bs FROM banded
+  ) WHERE bs <= 200
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
     sql["sample_by_hash"] = """
 SELECT doc_id, source FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 8))::BIGINT % 10000 < 1000
