@@ -130,6 +130,10 @@ def _pipeline_worker(cpus: int) -> dict:
         min_samples_train=20,
         collect_metrics=False,
         fused=True,
+        # NOT fused_from_raw: the workload's 30%-hot source would put
+        # 6×10^5 raw rows in one kernel task; rollup-first map-side
+        # combine reduces the hot key to ≤5760 tier rows before the
+        # per-series stage (measured: from-raw 26.9 s vs 20.0 s at n4)
     )
     wall = time.time() - t0
     out = {

@@ -261,6 +261,8 @@ def cascade_gapfill_encode_all(
     min_samples_train: int = 20,
     interpolate_gaps_less_than: int | None = None,
     use_gram: bool | None = None,
+    raw_ts_col: str | None = None,
+    raw_value_col: str | None = None,
 ) -> DataFrame:
     """One shuffle for the whole per-series tier chain.
 
@@ -273,6 +275,21 @@ def cascade_gapfill_encode_all(
     Versus running the cascade in Spark + one applyInPandas per tier,
     this trades three shuffles and three Python stages for one of each;
     at 10^12 scale it also means the 1m tier is shuffled exactly once.
+
+    **from-raw mode** (``raw_ts_col``/``raw_value_col`` set): the input
+    is the RAW event table and the 1m aggregation itself happens inside
+    the kernel (minute-truncate + ``reduceat``), removing the separate
+    rollup shuffle — the whole chain is scan → ONE exchange → sort →
+    kernel. Bit-exact vs the groupBy rollup for integral value columns
+    (the north-rule table's ``n_tok:int32``; integer sums are
+    order-free — float values would pick up last-ulp differences from
+    summation order and should keep the two-exchange path). Choose by
+    key volume: from-raw co-locates ALL raw rows of a key in one task,
+    so it is the right plan when per-key raw volume is bounded (bench
+    shape: ≤6×10^5 rows/key); the two-exchange path's map-side partial
+    aggregation is the right plan when single keys carry unbounded raw
+    volume (10^12-sequence hot sources) — the same bounded-vs-skewed
+    split that picks direct vs salted rollup.
 
     Execution shape: ``repartition(keys) → sortWithinPartitions(keys,
     bucket) → mapInPandas`` rather than ``groupBy().applyInPandas``.
@@ -353,8 +370,10 @@ def cascade_gapfill_encode_all(
         t1d, n1d, s1d = _cascade_sums(t1h, n1h, s1h, 86400)
         emit("1d", t1d, n1d, s1d)
 
+    from_raw = raw_ts_col is not None
+
     def emit_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Run every complete series in ``pdf`` (sorted by keys, bucket)."""
+        """Run every complete series in ``pdf`` (sorted by keys, time)."""
         rows: list = []
         # group boundaries via key-change scan — no pandas groupby machinery
         change = np.zeros(len(pdf), dtype=bool)
@@ -364,6 +383,23 @@ def cascade_gapfill_encode_all(
             change[1:] |= kv[1:] != kv[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
+        if from_raw:
+            # 1m aggregation inside the kernel: minute-truncate + reduceat
+            # over the (key, ts)-sorted rows — the rollup without its
+            # shuffle. Counts/sums equal the groupBy form exactly for
+            # integral values (order-free sums).
+            ts_raw = pdf[raw_ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+            trunc = ts_raw - ts_raw % 60
+            vraw = pdf[raw_value_col].to_numpy()
+            for s, e in zip(starts, ends):
+                key_values = {k: pdf[k].iloc[s] for k in keys}
+                t = trunc[s:e]
+                bstarts = np.concatenate(([0], np.flatnonzero(np.diff(t)) + 1))
+                ts_sec = t[bstarts]
+                npts = np.diff(np.append(bstarts, e - s))
+                sv = np.add.reduceat(vraw[s:e], bstarts)
+                tier_chain_rows(key_values, ts_sec, npts, sv, rows)
+            return pd.DataFrame(rows, columns=out_cols)
         ts_sec = pdf["bucket"].to_numpy().astype("datetime64[s]").astype(np.int64)
         npts = pdf["n_points"].to_numpy()
         sv = pdf["sum_value"].to_numpy()
@@ -394,10 +430,20 @@ def cascade_gapfill_encode_all(
         if carry is not None and len(carry):
             yield emit_chunk(carry)
 
-    cols = [*keys, "bucket", "n_points", "sum_value"]
+    if from_raw:
+        # count(value)/sum(value) ignore nulls in the groupBy rollup;
+        # match by dropping null-value rows before the kernel (the one
+        # divergence: an all-null bucket yields a null-avg tier row
+        # there, no row here — both gap-fill identically downstream)
+        df_1m = df_1m.where(F.col(raw_value_col).isNotNull())
+        cols = [*keys, raw_ts_col, raw_value_col]
+        sort_cols = [*keys, raw_ts_col]
+    else:
+        cols = [*keys, "bucket", "n_points", "sum_value"]
+        sort_cols = [*keys, "bucket"]
     return (
         df_1m.select(*cols)
         .repartition(*keys)
-        .sortWithinPartitions(*keys, "bucket")
+        .sortWithinPartitions(*sort_cols)
         .mapInPandas(process_partition, schema=out_schema)
     )

@@ -244,21 +244,32 @@ def embedding_near_dupes_lsh(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    bucket_w = Window.partitionBy("table", "bucket")
-    banded = (
-        banded.withColumn("__bs", F.count("*").over(bucket_w))
-        .where(F.col("__bs") <= max_bucket_size)
-        .drop("__bs")
+    # Candidate pairs in ONE shuffle: groupBy the band key collecting the
+    # member ids, then expand the per-bucket pair combinations JVM-side
+    # (transform over the sorted id array) — replaces the earlier
+    # window-count + banded⋈banded self-join + distinct, which cost three
+    # exchanges and scanned the bucket UDF twice. The hot-bucket cap is
+    # the size() filter on the collected list (same semantics: oversize
+    # buckets contribute no candidates; genuinely similar pairs still
+    # surface via their other tables). Per-task memory is one bucket's id
+    # list (≤ max_bucket_size) — the same bound the window form had.
+    members = (
+        banded.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.table") == F.col("y.table"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        members.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))

@@ -264,6 +264,7 @@ def run_pipeline(
     pin_snapshot: str | None = None,
     collect_metrics: bool = True,
     fused: bool = False,
+    fused_from_raw: bool = False,
 ) -> PipelineResult:
     """Run the full tier pipeline; optionally persist + checkpoint.
 
@@ -288,7 +289,12 @@ def run_pipeline(
         t1m_delta = salted_rollup(raw, keys, ts_col, value_col, "1m", salt_buckets, salt_col)
     else:
         t1m_delta = rollup(raw, keys, ts_col, value_col, "1m")
-    t1m_delta = t1m_delta.cache()
+    if output_dir:
+        # reused by the tier write, the affected-keys probe and the
+        # high-water write; without a warehouse the fused path consumes
+        # it exactly once, and caching would only add a full memory-store
+        # materialization of the tier to the critical path
+        t1m_delta = t1m_delta.cache()
 
     tier1m_path = os.path.join(output_dir, "tier=1m") if output_dir else None
     if output_dir:
@@ -311,9 +317,11 @@ def run_pipeline(
         # — work scales with the affected keys' history, not the table.
         affected = t1m_delta.select(*keys).distinct()
         t1m = spark.read.parquet(tier1m_path).join(F.broadcast(affected), keys, "left_semi")
+        t1m = t1m.cache()
     else:
         t1m = t1m_delta
-    t1m = t1m.cache()
+        if not fused:
+            t1m = t1m.cache()  # the staged path reads it for 1h + the fill
 
     if fused and gapfill and encode and not collect_metrics:
         # Fast path: the whole cascade + fill + encode collapses into ONE
@@ -323,13 +331,31 @@ def run_pipeline(
         # results match the staged path (pinned by tests).
         tiers = {"1m": t1m, "1h": cascade(t1m, keys, "1h"), "1d": None}
         tiers["1d"] = cascade(tiers["1h"], keys, "1d")
-        all_enc = cascade_gapfill_encode_all(
-            t1m,
-            keys,
-            lags=lags,
-            min_samples_train=min_samples_train,
-            interpolate_gaps_less_than=interpolate_gaps_less_than,
-        )
+        if fused_from_raw and not output_dir and not (salt_buckets and salt_col):
+            # (with a warehouse the rollup runs anyway for the persisted
+            # observed tier, so from-raw would only add a second raw scan)
+            # scan → ONE exchange → sort → kernel: the 1m aggregation
+            # happens inside the per-series kernel, so the rollup's own
+            # shuffle disappears. Only for bounded-volume keys (see
+            # cascade_gapfill_encode_all); resume/salted runs need the
+            # materialized tier and keep the two-exchange form.
+            all_enc = cascade_gapfill_encode_all(
+                raw,
+                keys,
+                lags=lags,
+                min_samples_train=min_samples_train,
+                interpolate_gaps_less_than=interpolate_gaps_less_than,
+                raw_ts_col=ts_col,
+                raw_value_col=value_col,
+            )
+        else:
+            all_enc = cascade_gapfill_encode_all(
+                t1m,
+                keys,
+                lags=lags,
+                min_samples_train=min_samples_train,
+                interpolate_gaps_less_than=interpolate_gaps_less_than,
+            )
         enc = {tier: all_enc.where(F.col("tier") == tier) for tier in TIER_CHAIN}
         if output_dir:
             all_enc = all_enc.cache()

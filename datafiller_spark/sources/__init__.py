@@ -1,6 +1,14 @@
 from .tables import load_table, tokenized_sequences, TOKEN_TIME_BASE
 from .generator import synth_sequences
-from .missing import add_contiguous_missing, add_mar, inject_contiguous_gaps, inject_mar
+from .missing import (
+    add_contiguous_missing,
+    add_mar,
+    apply_mask,
+    inject_contiguous_gaps,
+    inject_mar,
+    make_block_mask,
+    make_mar_mask,
+)
 
 __all__ = [
     "load_table",
@@ -9,6 +17,9 @@ __all__ = [
     "TOKEN_TIME_BASE",
     "add_mar",
     "add_contiguous_missing",
+    "apply_mask",
     "inject_mar",
     "inject_contiguous_gaps",
+    "make_block_mask",
+    "make_mar_mask",
 ]

@@ -92,3 +92,48 @@ def inject_contiguous_gaps(
     return df.withColumn(
         value_col, F.when(in_gap, F.lit(None)).otherwise(F.col(value_col))
     )
+
+
+def make_mar_mask(
+    shape: tuple[int, int], missing_ratio: float, rng: int | np.random.Generator | None = None
+) -> np.ndarray:
+    """Boolean MAR benchmark mask (S5), draw-for-draw identical to the
+    reference's (reference scripts/multivariate_benchmark.py:189-190)
+    for the same Generator state — so engine and reference benchmarks
+    hide the exact same cells."""
+    if not 0 <= missing_ratio <= 1:
+        raise EngineValueError("missing_ratio must be between 0 and 1")
+    gen = rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
+    return gen.random(shape) < missing_ratio
+
+
+def make_block_mask(
+    shape: tuple[int, int],
+    frac_columns: float,
+    block_length_ratio: float,
+    rng: int | np.random.Generator | None = None,
+) -> np.ndarray:
+    """Boolean block benchmark mask (S5): one contiguous run of
+    ``block_length_ratio``·rows in ``frac_columns``·cols, draw-for-draw
+    identical to the reference's
+    (reference scripts/multivariate_benchmark.py:193-207)."""
+    if not 0 <= frac_columns <= 1:
+        raise EngineValueError("frac_columns must be between 0 and 1")
+    gen = rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
+    n_rows, n_cols = shape
+    mask = np.zeros((n_rows, n_cols), dtype=bool)
+    n_cols_to_mask = max(1, int(n_cols * frac_columns))
+    cols = gen.choice(np.arange(n_cols), size=n_cols_to_mask, replace=False)
+    block_length = max(1, int(n_rows * block_length_ratio))
+    for col in cols:
+        start = gen.integers(0, max(1, n_rows - block_length + 1))
+        mask[start : start + block_length, col] = True
+    return mask
+
+
+def apply_mask(df: pd.DataFrame, mask: np.ndarray) -> pd.DataFrame:
+    """NaN out the masked cells (benchmark protocol: impute the masked
+    frame, score only on masked cells against the held-out truth)."""
+    out = df.copy()
+    out[mask] = np.nan
+    return out

@@ -55,3 +55,53 @@ def test_all_tier_kernel_matches_staged_cascade(spark):
         ts_b, vb = decode_points(bytes(s.payload))
         np.testing.assert_array_equal(ts_a, ts_b)
         np.testing.assert_allclose(va, vb, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_from_raw_equals_tier_mode(spark):
+    """from-raw mode (1m aggregation inside the kernel, rollup shuffle
+    removed) must equal tier-mode byte-for-byte on an integral value
+    column: integer bucket sums are order-free, so the in-kernel
+    reduceat equals the groupBy rollup exactly and everything downstream
+    (avg division, fill, encode) is the same code."""
+    seqs = synth_sequences(spark, 15000, mean_tokens=16, span_minutes=720, n_sources=16)
+    t1m = rollup(seqs, ["source"], "event_ts", "n_tok", "1m")
+
+    tier_mode = cascade_gapfill_encode_all(t1m, ["source"], min_samples_train=20)
+    raw_mode = cascade_gapfill_encode_all(
+        seqs, ["source"], min_samples_train=20,
+        raw_ts_col="event_ts", raw_value_col="n_tok",
+    )
+    a = sorted(
+        (r.source, r.tier, r.chunk_start, r.n_points, bytes(r.payload))
+        for r in tier_mode.collect()
+    )
+    b = sorted(
+        (r.source, r.tier, r.chunk_start, r.n_points, bytes(r.payload))
+        for r in raw_mode.collect()
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_pipeline_from_raw_matches_default(spark):
+    """run_pipeline(fused_from_raw=True) == run_pipeline(fused=True)."""
+    from pyspark.sql import functions as F
+
+    from datafiller_spark.plans import run_pipeline
+
+    seqs = synth_sequences(spark, 8000, mean_tokens=16, span_minutes=360, n_sources=8)
+    kw = dict(min_samples_train=20, collect_metrics=False, fused=True, gapfill=True, encode=True)
+    base = run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", **kw)
+    fr = run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", fused_from_raw=True, **kw)
+    assert base.points == fr.points > 0
+
+    def chunks(res):
+        allc = None
+        for t, df in res.encoded.items():
+            allc = df if allc is None else allc.unionByName(df)
+        return sorted(
+            (r.source, r.tier, r.chunk_start, r.n_points, bytes(r.payload))
+            for r in allc.collect()
+        )
+
+    assert chunks(base) == chunks(fr)

@@ -60,3 +60,72 @@ def test_inject_contiguous_gaps_spark(spark):
     runs = np.diff(np.flatnonzero(np.diff(np.concatenate(([0], na.view(np.int8), [0]))))
                    .reshape(-1, 2), axis=1)
     assert runs.max() <= 6  # at most two adjacent runs merged
+
+
+def _reference_mask_fns():
+    """Run the REAL reference mask makers (S5) without importing their
+    module (its top-level sklearn/pooch imports aren't in this sandbox):
+    extract just the two functions from the source via ast and exec them
+    against numpy only."""
+    import ast
+
+    src = open("/root/reference/scripts/multivariate_benchmark.py").read()
+    tree = ast.parse(src)
+    wanted = {
+        n.name: n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name in ("make_mar_mask", "make_block_mask")
+    }
+    assert set(wanted) == {"make_mar_mask", "make_block_mask"}
+    ns = {"np": np, "__builtins__": __builtins__}
+    exec(compile(ast.Module(body=list(wanted.values()), type_ignores=[]), "<ref>", "exec"), ns)
+    return ns["make_mar_mask"], ns["make_block_mask"]
+
+
+def test_make_mar_mask_matches_reference_bit_exact():
+    from datafiller_spark.sources import make_mar_mask
+
+    ref_mar, _ = _reference_mask_fns()
+    for seed in (0, 7, 123):
+        for shape, ratio in (((200, 12), 0.1), ((57, 3), 0.45), ((10, 1), 0.0)):
+            ours = make_mar_mask(shape, ratio, np.random.default_rng(seed))
+            theirs = ref_mar(shape, ratio, np.random.default_rng(seed))
+            np.testing.assert_array_equal(ours, theirs)
+
+
+def test_make_block_mask_matches_reference_bit_exact():
+    from datafiller_spark.sources import make_block_mask
+
+    _, ref_block = _reference_mask_fns()
+    for seed in (0, 7, 123):
+        for shape, fc, bl in (((300, 10), 0.3, 0.2), ((40, 4), 0.5, 0.9), ((25, 2), 1.0, 0.04)):
+            ours = make_block_mask(shape, fc, bl, np.random.default_rng(seed))
+            theirs = ref_block(shape, fc, bl, np.random.default_rng(seed))
+            np.testing.assert_array_equal(ours, theirs)
+
+
+def test_benchmark_mask_protocol_end_to_end():
+    """The S5 protocol: mask → impute → score ONLY the masked cells.
+    The ridge imputer must beat the column-mean baseline on correlated
+    MAR data (the reference benchmark's pass criterion in miniature)."""
+    from datafiller_spark.kernels import MultivariateImputer
+    from datafiller_spark.sources import apply_mask, make_mar_mask
+
+    rng = np.random.default_rng(3)
+    n = 400
+    base = rng.normal(size=n)
+    truth = pd.DataFrame(
+        {
+            "a": base + 0.05 * rng.normal(size=n),
+            "b": 2 * base + 0.05 * rng.normal(size=n),
+            "c": -base + 0.05 * rng.normal(size=n),
+            "d": rng.normal(size=n),
+        }
+    )
+    mask = make_mar_mask(truth.shape, 0.2, np.random.default_rng(11))
+    holed = apply_mask(truth, mask)
+    filled = MultivariateImputer()(holed)
+    err_model = np.abs(filled.to_numpy()[mask] - truth.to_numpy()[mask]).mean()
+    mean_fill = holed.fillna(holed.mean())
+    err_mean = np.abs(mean_fill.to_numpy()[mask] - truth.to_numpy()[mask]).mean()
+    assert err_model < 0.5 * err_mean
