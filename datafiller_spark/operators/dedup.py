@@ -128,8 +128,48 @@ def _minhash_params(k: int, seed: int = 11) -> list[tuple[int, int]]:
 def _gram_hash(g):
     """Deterministic 31-bit gram hash: low 32 md5 bits mod the Mersenne
     prime. md5 (not crc32/xxhash) so DuckDB computes the identical
-    value: ``('0x' || substr(md5(g), 1, 8))::BIGINT % p``."""
+    value: ``('0x' || substr(md5(g), 1, 8))::BIGINT % p``. This SQL
+    expression form is the cross-engine CONTRACT; the hot path computes
+    the same value in ``_signature_udf`` (pinned equal by
+    tests/test_dedup_similarity.py)."""
     return F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10).cast("long") % _MERSENNE
+
+
+def _signature_udf(params: list[tuple[int, int]]):
+    """grams → MinHash signature in ONE Arrow stage.
+
+    The pure-SQL form (``transform(grams, md5→conv)`` + 32
+    ``array_min(transform(...))`` passes) runs in Spark's *interpreted*
+    higher-order-function evaluator — md5/conv per gram plus
+    k·|grams| lambda evals cost whole seconds per 10^5 grams (measured
+    3.3 s for 5000 docs × 52 grams). Here hashlib computes each gram
+    md5 once (C speed) and the k affine mins are one vectorized
+    ``(k, |grams|)`` NumPy pass in exact int64 (h, a < 2^31 so h·a+b <
+    2^62 never overflows). Values are identical to the SQL form —
+    that expression remains the DuckDB oracle contract."""
+    import hashlib
+
+    ab = np.asarray(params, dtype=np.int64)  # (k, 2)
+
+    @F.pandas_udf("array<long>")
+    def signature(grams: pd.Series) -> pd.Series:
+        out = []
+        a = ab[:, 0][:, None]
+        b = ab[:, 1][:, None]
+        for gs in grams:
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big")
+                    % _MERSENNE
+                    for g in gs
+                ),
+                dtype=np.int64,
+                count=len(gs),
+            )
+            out.append((h[None, :] * a + b) % _MERSENNE if len(gs) else None)
+        return pd.Series([o.min(axis=1) if o is not None else None for o in out])
+
+    return signature
 
 
 def _shingled_signatures(
@@ -138,23 +178,18 @@ def _shingled_signatures(
     """One frame carrying BOTH the shingle set and the MinHash signature
     per doc: (id, grams, signature).
 
-    The signature is computed per row with higher-order array functions
-    (``transform`` + ``array_min``) instead of explode → groupBy: the
-    whole MinHash stage costs ZERO shuffles, and the shingle arrays are
-    produced exactly once for signatures and verification alike.
+    The signature is computed per row (vectorized UDF, see
+    ``_signature_udf``) instead of explode → groupBy: the whole MinHash
+    stage costs ZERO shuffles, and the shingle arrays are produced
+    exactly once for signatures and verification alike.
     """
     params = _minhash_params(num_hashes)
     shingled = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
-    hashed = shingled.withColumn("__hs", F.transform("grams", _gram_hash))
-    sig = F.array(
-        *[
-            F.array_min(F.transform("__hs", lambda h: (h * a + b) % _MERSENNE))
-            for (a, b) in params
-        ]
+    return shingled.select(
+        "id", "grams", _signature_udf(params)(F.col("grams")).alias("signature")
     )
-    return hashed.select("id", "grams", sig.alias("signature"))
 
 
 def minhash_signatures(

@@ -43,6 +43,41 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _pair_cosine_udf():
+    """(vec_a, vec_b) → struct(dot, na, nb) in one Arrow batch.
+
+    The SQL fold form (``aggregate(zip_with(...))``, kept above as the
+    expression contract and in the brute-force verifier) runs in Spark's
+    interpreted higher-order evaluator at ~20 µs/pair — it dominates
+    every candidate-verification wall. Here the same math is one NumPy
+    pass. BIT-EXACT with the fold: ``cumsum`` accumulates float64
+    left-to-right, exactly the fold's ((0+x₀y₀)+x₁y₁)+… order, so
+    downstream round()/thresholds see identical doubles (pinned by
+    tests/test_dedup_similarity.py)."""
+
+    @F.pandas_udf("struct<dot:double,na:double,nb:double>")
+    def parts(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        if not len(a):
+            return pd.DataFrame({"dot": [], "na": [], "nb": []}, dtype=float)
+        x = np.vstack(a.to_numpy()).astype(np.float64)
+        y = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dot": np.cumsum(x * y, axis=1)[:, -1],
+                "na": np.sqrt(np.cumsum(x * x, axis=1)[:, -1]),
+                "nb": np.sqrt(np.cumsum(y * y, axis=1)[:, -1]),
+            }
+        )
+
+    return parts
+
+
+def _cosine6(a_col: str, b_col: str):
+    """round-6 cosine column from the vectorized pair parts."""
+    p = _pair_cosine_udf()(F.col(a_col), F.col(b_col))
+    return F.round(p["dot"] / (p["na"] * p["nb"]), 6)
+
+
 def cosine_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -60,9 +95,7 @@ def cosine_topk(
     scored = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("__q"), F.col("__v")) / (_norm(F.col("__q")) * _norm(F.col("__v"))), 6).alias(
-            "cosine"
-        ),
+        _cosine6("__q", "__v").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -177,9 +210,7 @@ def lsh_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("__q"), F.col("__v")) / (_norm(F.col("__q")) * _norm(F.col("__v"))), 6).alias(
-            "cosine"
-        ),
+        _cosine6("__q", "__v").alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -277,13 +308,7 @@ def embedding_near_dupes_lsh(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot(F.col("__a"), F.col("__b")) / (_norm(F.col("__a")) * _norm(F.col("__b"))), 6
-            ).alias("cosine"),
-        )
+        .select("id_a", "id_b", _cosine6("__a", "__b").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -395,9 +420,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _dot(F.col("__q"), F.col("__v")) / (_norm(F.col("__q")) * _norm(F.col("__v"))), 6
-            ).alias("cosine"),
+            _cosine6("__q", "__v").alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

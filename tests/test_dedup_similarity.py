@@ -294,3 +294,37 @@ def test_ivf_topk_recall_and_determinism(spark):
 
     with pytest.raises(ValueError):
         ivf_topk(df, queries, k=5)
+
+
+def test_signature_udf_matches_sql_expression_form(spark, sf_dir):
+    """The vectorized MinHash signature (hashlib md5 + NumPy affine
+    mins) must equal the pure-SQL expression form — which is the
+    cross-engine oracle contract DuckDB re-computes."""
+    from pyspark.sql import functions as F
+
+    from datafiller_spark.operators.dedup import (
+        _MERSENNE,
+        _gram_hash,
+        _minhash_params,
+        _shingled_signatures,
+        _shingles,
+    )
+    from datafiller_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    fast = {r.id: list(r.signature) for r in
+            _shingled_signatures(docs, "doc_id", "text", 3, 32).collect()}
+
+    params = _minhash_params(32)
+    shingled = docs.select(
+        F.col("doc_id").alias("id"), _shingles("text", 3).alias("grams")
+    ).where(F.size("grams") > 0)
+    hashed = shingled.withColumn("__hs", F.transform("grams", _gram_hash))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__hs", lambda h: (h * a + b) % _MERSENNE))
+            for (a, b) in params
+        ]
+    )
+    slow = {r.id: list(r.signature) for r in hashed.select("id", sig.alias("signature")).collect()}
+    assert fast == slow and len(fast) > 0
