@@ -467,8 +467,15 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
             F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
         )
     )
+    # 12 planes/table: 2^12 buckets over the 10k-vector corpus keeps
+    # random bucket collisions (the verification load) ~16x below the
+    # 8-plane setting; the planted cosine-1.0 copies agree with their
+    # originals on EVERY hyperplane, so the output is provably still the
+    # exact pair set. Production corpora with organic near-threshold
+    # pairs trade planes vs tables by the recall formula in the
+    # operator docstring.
     return embedding_near_dupes_lsh(
-        corpus, "vec_id", "embedding", threshold=0.95, dim=64, n_planes=8, n_tables=8
+        corpus, "vec_id", "embedding", threshold=0.95, dim=64, n_planes=12, n_tables=8
     )
 
 

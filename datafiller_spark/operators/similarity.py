@@ -289,18 +289,28 @@ def embedding_near_dupes_lsh(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # per-bucket pair expansion is O(m²) — np.triu_indices over the
+    # sorted id array keeps it one vectorized Arrow stage (a JVM
+    # higher-order transform here runs INTERPRETED: ~500k struct allocs
+    # per full bucket measured slower than the self-join it replaced)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _gen_pairs(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf["ids"]:
+                arr = np.asarray(ids)
+                i, j = np.triu_indices(len(arr), k=1)
+                out_a.append(arr[i])
+                out_b.append(arr[j])
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+
     cand = (
-        members.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        members.select("ids")
+        .mapInPandas(_gen_pairs, schema=f"id_a {id_type}, id_b {id_type}")
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
