@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .banding import banded_pairs
+
 _MERSENNE = (1 << 31) - 1
 
 
@@ -252,22 +254,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    bucket_w = Window.partitionBy("band", "band_hash")
-    banded = (
-        banded.withColumn("__bucket_size", F.count("*").over(bucket_w))
-        .where(F.col("__bucket_size") <= max_bucket_size)
-        .drop("__bucket_size")
-    )
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+    cand = banded_pairs(
+        banded,
+        ["band", "band_hash"],
+        "id",
+        df.schema[id_col].dataType.simpleString(),
+        max_bucket_size,
     )
     # Verify candidates locally (array_intersect on the two shingle sets)
     # instead of a global posting-list self-join: per-candidate cost, so

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .banding import banded_pairs
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -275,43 +277,14 @@ def embedding_near_dupes_lsh(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    # Candidate pairs in ONE shuffle: groupBy the band key collecting the
-    # member ids, then expand the per-bucket pair combinations JVM-side
-    # (transform over the sorted id array) — replaces the earlier
-    # window-count + banded⋈banded self-join + distinct, which cost three
-    # exchanges and scanned the bucket UDF twice. The hot-bucket cap is
-    # the size() filter on the collected list (same semantics: oversize
-    # buckets contribute no candidates; genuinely similar pairs still
-    # surface via their other tables). Per-task memory is one bucket's id
-    # list (≤ max_bucket_size) — the same bound the window form had.
-    members = (
-        banded.groupBy("table", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-    )
-    # per-bucket pair expansion is O(m²) — np.triu_indices over the
-    # sorted id array keeps it one vectorized Arrow stage (a JVM
-    # higher-order transform here runs INTERPRETED: ~500k struct allocs
-    # per full bucket measured slower than the self-join it replaced)
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def _gen_pairs(batches):
-        for pdf in batches:
-            out_a, out_b = [], []
-            for ids in pdf["ids"]:
-                arr = np.asarray(ids)
-                i, j = np.triu_indices(len(arr), k=1)
-                out_a.append(arr[i])
-                out_b.append(arr[j])
-            if out_a:
-                yield pd.DataFrame(
-                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-                )
-
-    cand = (
-        members.select("ids")
-        .mapInPandas(_gen_pairs, schema=f"id_a {id_type}, id_b {id_type}")
-        .distinct()
+    # ONE-shuffle candidate generation + vectorized pair expansion —
+    # shared with MinHash-LSH (see operators/banding.py for the why)
+    cand = banded_pairs(
+        banded,
+        ["table", "bucket"],
+        "id",
+        df.schema[id_col].dataType.simpleString(),
+        max_bucket_size,
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
