@@ -28,29 +28,58 @@ def banded_pairs(
     id_col: str,
     id_type: str,
     max_bucket_size: int,
+    payload_col: str | None = None,
+    payload_type: str | None = None,
 ) -> DataFrame:
-    """(band_cols..., id) rows → distinct candidate (id_a < id_b) pairs."""
+    """(band_cols..., id[, payload]) rows → distinct candidate
+    (id_a < id_b) pairs.
+
+    With ``payload_col`` set, each member's payload (e.g. its SimHash
+    signature) rides along through the bucket and comes back as
+    ``payload_a``/``payload_b`` — the verification step then needs no
+    join back to the signature table. ``distinct`` stays correct
+    because a pair's payloads are functionally determined by its ids.
+    """
+    if payload_col is None:
+        collected = F.sort_array(F.collect_list(id_col)).alias("ids")
+    else:
+        # sort_array on array<struct> orders by the first field (the id)
+        collected = F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p")))
+        ).alias("ids")
     members = (
         banded.groupBy(*band_cols)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(collected)
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
 
     def _gen_pairs(batches):
         for pdf in batches:
-            out_a, out_b = [], []
+            out_a, out_b, out_pa, out_pb = [], [], [], []
             for ids in pdf["ids"]:
-                arr = np.asarray(ids)
+                if payload_col is None:
+                    arr = np.asarray(ids)
+                else:
+                    arr = np.asarray([m["i"] for m in ids])
+                    pay = np.asarray([m["p"] for m in ids])
                 i, j = np.triu_indices(len(arr), k=1)
                 out_a.append(arr[i])
                 out_b.append(arr[j])
+                if payload_col is not None:
+                    out_pa.append(pay[i])
+                    out_pb.append(pay[j])
             if out_a:
-                yield pd.DataFrame(
-                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-                )
+                cols = {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                if payload_col is not None:
+                    cols["payload_a"] = np.concatenate(out_pa)
+                    cols["payload_b"] = np.concatenate(out_pb)
+                yield pd.DataFrame(cols)
 
+    schema = f"id_a {id_type}, id_b {id_type}"
+    if payload_col is not None:
+        schema += f", payload_a {payload_type}, payload_b {payload_type}"
     return (
         members.select("ids")
-        .mapInPandas(_gen_pairs, schema=f"id_a {id_type}, id_b {id_type}")
+        .mapInPandas(_gen_pairs, schema=schema)
         .distinct()
     )

@@ -431,29 +431,19 @@ def simhash_near_dupes(
         ]
     )
     banded = sigs.select("id", "simhash", F.posexplode(band_vals).alias("band", "val"))
-    bucket_w = Window.partitionBy("band", "val")
-    banded = (
-        banded.withColumn("__bs", F.count("*").over(bucket_w))
-        .where(F.col("__bs") <= max_bucket_size)
-        .drop("__bs")
+    # one-shuffle candidate generation (operators/banding.py); the
+    # signature rides through the bucket as the payload, so Hamming
+    # verification needs no join back to the signature table
+    cand = banded_pairs(
+        banded,
+        ["band", "val"],
+        "id",
+        df.schema[id_col].dataType.simpleString(),
+        max_bucket_size,
+        payload_col="simhash",
+        payload_type="long",
     )
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("__sa"),
-            F.col("y.simhash").alias("__sb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    hamming = F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
