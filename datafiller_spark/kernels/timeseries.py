@@ -60,6 +60,11 @@ def regularize_index(df: pd.DataFrame) -> pd.DataFrame:
     """Reindex to the complete regular grid; inserted rows are all-NaN."""
     if not isinstance(df.index, pd.DatetimeIndex):
         raise EngineTypeError("DataFrame index must be a DatetimeIndex.")
+    if df.index.freq is not None:
+        # a DatetimeIndex carrying a freq IS the complete regular grid
+        # (pandas validates freq against the data on construction) —
+        # skip the date_range + equals pass, ~1 ms per per-series call
+        return df
     freq = infer_frequency(df.index)
     full = pd.date_range(start=df.index[0], end=df.index[-1], freq=freq, name=df.index.name)
     if len(full) == len(df.index) and full.equals(df.index):

@@ -339,10 +339,23 @@ def cascade_gapfill_encode_all(
         """Cascade + fill + encode ONE series (sorted arrays); appends
         chunk rows."""
 
+        step_sec = {"1m": 60, "1h": 3600, "1d": 86400}
+
         def emit(tier: str, t: np.ndarray, n: np.ndarray, s_: np.ndarray) -> None:
             avg = s_.astype("float64") / n
-            index = pd.DatetimeIndex(t.astype("datetime64[s]"))
-            frame = pd.DataFrame({"avg_value": avg}, index=index).asfreq(freq_code[tier])
+            # the full grid directly from epoch-second arithmetic —
+            # same rows as DatetimeIndex(...).asfreq(...) (UTC tiers are
+            # fixed-width), minus its get_indexer/reindex machinery;
+            # date_range carries freq, so the imputer's regularize pass
+            # short-circuits too
+            step = step_sec[tier]
+            pos = (t - t[0]) // step
+            vals = np.full(int(pos[-1]) + 1, np.nan)
+            vals[pos] = avg
+            index = pd.date_range(
+                pd.Timestamp(int(t[0]), unit="s"), periods=len(vals), freq=freq_code[tier]
+            )
+            frame = pd.DataFrame({"avg_value": vals}, index=index)
             imputer = TimeSeriesImputer(
                 lags=lags_list,
                 min_samples_train=min_samples_train,
