@@ -100,6 +100,44 @@ def _resolve_n_nearest(n_nearest_features: None | int | float, n: int) -> int | 
     return int(n_nearest_features)
 
 
+#: per-process state for the n_jobs column workers (set by the pool
+#: initializer; fork/spawn both work — the payload is pickled once per
+#: worker, not per column)
+_COL_WORKER: dict = {}
+
+
+def _init_col_worker(payload: dict) -> None:
+    _COL_WORKER.update(payload)
+    _COL_WORKER["imputer"] = MultivariateImputer(**payload["config"])
+    _COL_WORKER["imputer"].imputation_features_ = {} if payload["track_features"] else None
+    # one scratch output matrix per worker: _impute_col writes only its
+    # task's column, so resetting is never needed across tasks
+    _COL_WORKER["scratch"] = payload["x_base"].copy()
+
+
+def _impute_col_task(args: tuple[int, int]) -> tuple[int, np.ndarray, np.ndarray | None]:
+    i, col = args
+    p = _COL_WORKER
+    imp = p["imputer"]
+    imp._impute_col(
+        p["x"],
+        p["scratch"],
+        col,
+        p["mask_nan"],
+        p["mask_rows"],
+        p["n_nearest"],
+        p["scores"],
+        i,
+        0.0 if p["norm_means"] is None else float(p["norm_means"][col]),
+        1.0 if p["norm_scales"] is None else float(p["norm_scales"][col]),
+        is_categorical=col in p["cat_cols"],
+    )
+    feats = None
+    if imp.imputation_features_ is not None:
+        feats = imp.imputation_features_.get(col)
+    return col, p["scratch"][:, col].copy(), feats
+
+
 class MultivariateImputer:
     """Impute NaNs in a 2-D float matrix, column by column.
 
@@ -128,9 +166,20 @@ class MultivariateImputer:
         min_samples_train: int | None = None,
         fallback: str | None = "simple",
         use_gram: bool | None = None,
+        n_jobs: int | None = None,
     ):
+        """``n_jobs``: impute target columns in parallel worker processes
+        (column imputations are independent by construction — each reads
+        the shared input matrix and writes only its own column — so the
+        output is bit-identical to the serial loop, pinned by
+        tests/test_kernels_multivariate.py). Default None = serial, the
+        reference's execution shape. Meant for wide single-node panels
+        (the reference's published benchmark shape); inside Spark
+        executors leave it off — the cluster already parallelizes per
+        series, and nested pools oversubscribe."""
         if fallback not in (None, "simple"):
             raise EngineValueError(f"fallback must be 'simple' or None, got {fallback!r}")
+        self.n_jobs = n_jobs
         self.regressor: Any = regressor if regressor is not None else FastRidge()
         self.classifier: Any = (
             classifier if classifier is not None else DecisionTreeClassifier(max_depth=4, random_state=0)
@@ -558,20 +607,55 @@ class MultivariateImputer:
             self.imputation_features_ = None
 
         cat_cols = _categorical_cols or set()
-        for i, col in enumerate(cols_idx):
-            self._impute_col(
-                x,
-                x_imputed,
-                int(col),
-                mask_nan,
-                mask_rows,
-                n_nearest,
-                scores,
-                i,
-                0.0 if norm_means is None else float(norm_means[col]),
-                1.0 if norm_scales is None else float(norm_scales[col]),
-                is_categorical=int(col) in cat_cols,
-            )
+        if self.n_jobs and self.n_jobs > 1 and len(cols_idx) > 1:
+            # per-column process pool: same math, same per-column code
+            # path, columns merely run concurrently (see __init__ doc)
+            from concurrent.futures import ProcessPoolExecutor
+
+            payload = {
+                "x": x,
+                "x_base": x_imputed,
+                "mask_nan": mask_nan,
+                "mask_rows": mask_rows,
+                "n_nearest": n_nearest,
+                "scores": scores,
+                "norm_means": norm_means,
+                "norm_scales": norm_scales,
+                "cat_cols": cat_cols,
+                "track_features": self.imputation_features_ is not None,
+                "config": {
+                    "regressor": self.regressor,
+                    "classifier": self.classifier,
+                    "min_samples_train": self.min_samples_train,
+                    "fallback": None,
+                    "use_gram": self.use_gram,
+                },
+            }
+            tasks = [(i, int(c)) for i, c in enumerate(cols_idx)]
+            with ProcessPoolExecutor(
+                max_workers=min(self.n_jobs, len(cols_idx)),
+                initializer=_init_col_worker,
+                initargs=(payload,),
+            ) as pool:
+                for col, col_values, feats in pool.map(_impute_col_task, tasks):
+                    x_imputed[:, col] = col_values
+                    if feats is not None and self.imputation_features_ is not None:
+                        self.imputation_features_[col] = feats
+        else:
+            for i, col in enumerate(cols_idx):
+                self._impute_col(
+                    x,
+                    x_imputed,
+                    int(col),
+                    mask_nan,
+                    mask_rows,
+                    n_nearest,
+                    scores,
+                    i,
+                    0.0 if norm_means is None else float(norm_means[col]),
+                    1.0 if norm_scales is None else float(norm_scales[col]),
+                    is_categorical=int(col) in cat_cols,
+                )
 
         still_nan = int(
             (mask_nan[:, cols_idx] & mask_rows[:, None] & np.isnan(x_imputed[:, cols_idx])).sum()

@@ -90,6 +90,7 @@ class TimeSeriesImputer:
         interpolate_gaps_less_than: int | None = None,
         add_time_features: bool = True,
         use_gram: bool | None = None,
+        n_jobs: int | None = None,
     ):
         lags = list(lags)
         if not all(isinstance(i, int) for i in lags):
@@ -108,6 +109,7 @@ class TimeSeriesImputer:
             min_samples_train=min_samples_train,
             fallback=fallback,
             use_gram=use_gram,
+            n_jobs=n_jobs,
         )
         self.imputation_features_: dict | None = None
         #: cells filled per policy step on the last call — mirrors the

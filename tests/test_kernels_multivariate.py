@@ -155,3 +155,28 @@ def test_index_selector_validation():
     assert targeted == int(np.isnan(x[:, 0]).sum())
     out_single = MultivariateImputer(min_samples_train=10)(x.copy(), cols_to_impute=0)
     np.testing.assert_array_equal(out_dup, out_single)
+
+
+def test_n_jobs_parallel_columns_bit_identical():
+    """n_jobs only changes WHERE columns run, never their math: the
+    process-pool path must be bit-identical to the serial loop,
+    including the tracked per-column feature selections."""
+    import numpy as np
+
+    from datafiller_spark.kernels import MultivariateImputer
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(400, 1))
+    x = (base @ rng.normal(size=(1, 12)) + 0.1 * rng.normal(size=(400, 12))).astype(np.float32)
+    x[rng.random(x.shape) < 0.15] = np.nan
+
+    serial_imp = MultivariateImputer(min_samples_train=10)
+    parallel_imp = MultivariateImputer(min_samples_train=10, n_jobs=3)
+    serial = serial_imp(x.copy(), n_nearest_features=8)
+    parallel = parallel_imp(x.copy(), n_nearest_features=8)
+    np.testing.assert_array_equal(serial, parallel)
+    assert serial_imp.imputation_features_.keys() == parallel_imp.imputation_features_.keys()
+    for c in serial_imp.imputation_features_:
+        np.testing.assert_array_equal(
+            serial_imp.imputation_features_[c], parallel_imp.imputation_features_[c]
+        )
