@@ -106,7 +106,47 @@ def _resolve_n_nearest(n_nearest_features: None | int | float, n: int) -> int | 
 _COL_WORKER: dict = {}
 
 
+def _pin_blas_single_thread() -> None:
+    """Force the already-loaded OpenBLAS to one thread in this process.
+
+    Pinned at module import (unless the user set OPENBLAS_NUM_THREADS
+    explicitly) and in every n_jobs worker, for two reasons measured on
+    the published-benchmark shapes: (1) determinism — multi-threaded
+    GEMM/solve reductions differ from single-threaded at the ULP, which
+    breaks the serial≡parallel and Spark≡kernel bit-parity contracts;
+    (2) speed — the bundled 2-thread OpenBLAS contends on small ridge
+    solves (8064×60 MAR serial: 412.7 s → 341.8 s just from pinning).
+    Parallelism belongs to explicit owners: the n_jobs process pool
+    here, Spark executors in the engine (session.py pins them the same
+    way). Env vars can't do this under fork (the parent's BLAS pool is
+    already initialized when the child inherits it), and spawn pays a
+    full interpreter+numpy import per worker; dlopen-ing the bundled
+    library returns the loaded instance, so its set_num_threads
+    applies."""
+    import ctypes
+    import glob
+    import os
+
+    libdir = os.path.join(os.path.dirname(os.path.dirname(np.__file__)), "numpy.libs")
+    for pattern in ("libscipy_openblas*.so*", "libopenblas*.so*"):
+        for lib in glob.glob(os.path.join(libdir, pattern)):
+            try:
+                handle = ctypes.CDLL(lib)
+            except OSError:  # pragma: no cover - defensive
+                continue
+            for fn in (
+                "scipy_openblas_set_num_threads",
+                "openblas_set_num_threads",
+                "openblas_set_num_threads64_",  # 64-bit-int suffixed builds
+                "openblas_set_num_threads_64_",
+            ):
+                if hasattr(handle, fn):
+                    getattr(handle, fn)(1)
+                    return
+
+
 def _init_col_worker(payload: dict) -> None:
+    _pin_blas_single_thread()
     _COL_WORKER.update(payload)
     _COL_WORKER["imputer"] = MultivariateImputer(**payload["config"])
     _COL_WORKER["imputer"].imputation_features_ = {} if payload["track_features"] else None
@@ -136,6 +176,12 @@ def _impute_col_task(args: tuple[int, int]) -> tuple[int, np.ndarray, np.ndarray
     if imp.imputation_features_ is not None:
         feats = imp.imputation_features_.get(col)
     return col, p["scratch"][:, col].copy(), feats
+
+
+import os as _os_env  # noqa: E402
+
+if not _os_env.environ.get("OPENBLAS_NUM_THREADS"):
+    _pin_blas_single_thread()
 
 
 class MultivariateImputer:
@@ -632,8 +678,18 @@ class MultivariateImputer:
                 },
             }
             tasks = [(i, int(c)) for i, c in enumerate(cols_idx)]
+            # fork workers (payload transfers once, no per-worker
+            # interpreter+numpy import) with BLAS pinned to ONE thread in
+            # each (initializer): the pool owns the cores, and N workers
+            # × M-threaded OpenBLAS otherwise oversubscribes N·M-fold —
+            # the many small linalg.solve calls then run SLOWER than
+            # serial (measured 33 s vs 7.4 s on the blocks benchmark).
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods() else "spawn")
             with ProcessPoolExecutor(
                 max_workers=min(self.n_jobs, len(cols_idx)),
+                mp_context=ctx,
                 initializer=_init_col_worker,
                 initargs=(payload,),
             ) as pool:

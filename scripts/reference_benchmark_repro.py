@@ -53,15 +53,26 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=8064)
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--jobs", type=int, default=None, help="n_jobs for per-column workers")
+    ap.add_argument(
+        "--pattern", choices=["mar", "blocks"], default="mar",
+        help="published mask pattern: MAR_0.10 or Blocks_0.20x0.30",
+    )
     args = ap.parse_args()
     from datafiller_spark.kernels import TimeSeriesImputer
     from datafiller_spark.sources import apply_mask, make_mar_mask
 
     LAGS = (1, 2, 3, -1, -2, -3)
     truth = pems_shaped_frame(n_rows=args.rows, n_cols=args.cols)
+    from datafiller_spark.sources import make_block_mask
+
     # the reference masks only observed cells; the synthetic frame is
-    # fully observed, so the protocol reduces to the plain MAR mask
-    mask = make_mar_mask(truth.shape, 0.10, np.random.default_rng(0))
+    # fully observed, so the protocol reduces to the plain mask
+    if args.pattern == "blocks":
+        mask = make_block_mask(truth.shape, 0.30, 0.20, np.random.default_rng(0))
+        published = 0.334  # PemsBay Blocks_0.20x0.30 row
+    else:
+        mask = make_mar_mask(truth.shape, 0.10, np.random.default_rng(0))
+        published = 41.85
     holed = apply_mask(truth, mask)
     masked_cells = int(mask.sum())
 
@@ -94,7 +105,8 @@ def main() -> None:
                 "reference_shimmed_wall_s": round(wall_ref, 3),
                 "reference_shimmed_pts_per_s": round(masked_cells / wall_ref, 1),
                 "speedup_vs_shimmed_reference": round(wall_ref / wall_engine, 2),
-                "published_reference_wall_s": 41.85,  # numba-compiled, unknown hw
+                "pattern": args.pattern,
+                "published_reference_wall_s": published,  # numba-compiled, unknown hw
                 "rmse_engine": round(err_engine, 4),
                 "rmse_reference": round(err_ref, 4),
             }
