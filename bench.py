@@ -72,6 +72,13 @@ HEADLINE = [
     "embedding_near_dupes_lsh",
     "pricing_summary",
     "asof_join",
+    "dedup_exact",
+    "dup_clusters",
+    "sample_by_hash",
+    "pack_sequences",
+    "quality",
+    "lang_id",
+    "fingerprint",
 ]
 
 
