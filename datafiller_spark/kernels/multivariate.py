@@ -33,6 +33,7 @@ Two fitting paths, mirroring the reference:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 from typing import Any
 
@@ -109,8 +110,9 @@ _COL_WORKER: dict = {}
 def _pin_blas_single_thread() -> None:
     """Force the already-loaded OpenBLAS to one thread in this process.
 
-    Pinned at module import (unless the user set OPENBLAS_NUM_THREADS
-    explicitly) and in every n_jobs worker, for two reasons measured on
+    Pinned on first imputer call (unless the user set
+    OPENBLAS_NUM_THREADS explicitly) and in every n_jobs worker, for
+    two reasons measured on
     the published-benchmark shapes: (1) determinism — multi-threaded
     GEMM/solve reductions differ from single-threaded at the ULP, which
     breaks the serial≡parallel and Spark≡kernel bit-parity contracts;
@@ -146,7 +148,7 @@ def _pin_blas_single_thread() -> None:
 
 
 def _init_col_worker(payload: dict) -> None:
-    _pin_blas_single_thread()
+    _ensure_blas_pinned()
     _COL_WORKER.update(payload)
     _COL_WORKER["imputer"] = MultivariateImputer(**payload["config"])
     _COL_WORKER["imputer"].imputation_features_ = {} if payload["track_features"] else None
@@ -178,9 +180,21 @@ def _impute_col_task(args: tuple[int, int]) -> tuple[int, np.ndarray, np.ndarray
     return col, p["scratch"][:, col].copy(), feats
 
 
-import os as _os_env  # noqa: E402
+_BLAS_PINNED = False
 
-if not _os_env.environ.get("OPENBLAS_NUM_THREADS"):
+
+def _ensure_blas_pinned() -> None:
+    """Pin on first imputer USE, not at library import (importing the
+    package must not silently degrade a host application's own BLAS),
+    and never override a user's explicit OPENBLAS_NUM_THREADS."""
+    global _BLAS_PINNED
+    if _BLAS_PINNED:
+        return
+    _BLAS_PINNED = True
+    import os
+
+    if os.environ.get("OPENBLAS_NUM_THREADS"):
+        return
     _pin_blas_single_thread()
 
 
@@ -225,6 +239,8 @@ class MultivariateImputer:
         series, and nested pools oversubscribe."""
         if fallback not in (None, "simple"):
             raise EngineValueError(f"fallback must be 'simple' or None, got {fallback!r}")
+        if n_jobs is not None and (not isinstance(n_jobs, int) or (n_jobs < 1 and n_jobs != -1)):
+            raise EngineValueError("n_jobs must be a positive int, -1 (all cores), or None.")
         self.n_jobs = n_jobs
         self.regressor: Any = regressor if regressor is not None else FastRidge()
         self.classifier: Any = (
@@ -584,6 +600,7 @@ class MultivariateImputer:
     ) -> np.ndarray:
         import pandas as pd
 
+        _ensure_blas_pinned()
         if isinstance(x, pd.DataFrame):
             return self._impute_frame(
                 x, rows_to_impute, cols_to_impute, n_nearest_features, normalize
@@ -653,7 +670,8 @@ class MultivariateImputer:
             self.imputation_features_ = None
 
         cat_cols = _categorical_cols or set()
-        if self.n_jobs and self.n_jobs > 1 and len(cols_idx) > 1:
+        n_jobs = (os.cpu_count() or 1) if self.n_jobs == -1 else self.n_jobs
+        if n_jobs and n_jobs > 1 and len(cols_idx) > 1:
             # per-column process pool: same math, same per-column code
             # path, columns merely run concurrently (see __init__ doc)
             from concurrent.futures import ProcessPoolExecutor
@@ -688,7 +706,7 @@ class MultivariateImputer:
 
             ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods() else "spawn")
             with ProcessPoolExecutor(
-                max_workers=min(self.n_jobs, len(cols_idx)),
+                max_workers=min(n_jobs, len(cols_idx)),
                 mp_context=ctx,
                 initializer=_init_col_worker,
                 initargs=(payload,),

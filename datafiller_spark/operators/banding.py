@@ -63,6 +63,11 @@ def banded_pairs(
                     arr = np.asarray([m["i"] for m in ids])
                     pay = np.asarray([m["p"] for m in ids])
                 i, j = np.triu_indices(len(arr), k=1)
+                # duplicate id VALUES in one bucket would pair with
+                # themselves here; the strict id_a < id_b contract (what
+                # the self-join form enforced) drops them
+                keep = arr[i] != arr[j]
+                i, j = i[keep], j[keep]
                 out_a.append(arr[i])
                 out_b.append(arr[j])
                 if payload_col is not None:

@@ -404,6 +404,10 @@ def cascade_gapfill_encode_all(
             ts_raw = pdf[raw_ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
             trunc = ts_raw - ts_raw % 60
             vraw = pdf[raw_value_col].to_numpy()
+            if np.issubdtype(vraw.dtype, np.integer):
+                # Spark's sum() promotes to int64; reduceat would keep
+                # int32 and silently WRAP on >2^31 per-bucket sums
+                vraw = vraw.astype(np.int64)
             for s, e in zip(starts, ends):
                 key_values = {k: pdf[k].iloc[s] for k in keys}
                 t = trunc[s:e]

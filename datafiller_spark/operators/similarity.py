@@ -52,24 +52,54 @@ def _pair_cosine_udf():
     expression contract and in the brute-force verifier) runs in Spark's
     interpreted higher-order evaluator at ~20 µs/pair — it dominates
     every candidate-verification wall. Here the same math is one NumPy
-    pass. BIT-EXACT with the fold: ``cumsum`` accumulates float64
-    left-to-right, exactly the fold's ((0+x₀y₀)+x₁y₁)+… order, so
-    downstream round()/thresholds see identical doubles (pinned by
-    tests/test_dedup_similarity.py)."""
+    pass. BIT-EXACT with the fold for array<double> inputs: ``cumsum``
+    accumulates float64 left-to-right, exactly the fold's
+    ((0+x₀y₀)+x₁y₁)+… order, so downstream round()/thresholds see
+    identical doubles (pinned by tests/test_dedup_similarity.py). The
+    operators cast their vector columns to array<double> at the
+    boundary, so float32 inputs take ONE well-defined widening on both
+    the UDF and any SQL mirror."""
 
     @F.pandas_udf("struct<dot:double,na:double,nb:double>")
     def parts(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         if not len(a):
             return pd.DataFrame({"dot": [], "na": [], "nb": []}, dtype=float)
-        x = np.vstack(a.to_numpy()).astype(np.float64)
-        y = np.vstack(b.to_numpy()).astype(np.float64)
-        return pd.DataFrame(
+        av, bv = a.to_numpy(), b.to_numpy()
+        # null or ragged vectors get a NULL result row (what the SQL
+        # fold yields on a null array) instead of crashing the stage
+        dim = next((len(v) for v in av if v is not None), 0)
+        valid = np.fromiter(
+            (
+                u is not None and v is not None and len(u) == dim and len(v) == dim
+                for u, v in zip(av, bv)
+            ),
+            dtype=bool,
+            count=len(av),
+        )
+        if valid.all() and dim:
+            x = np.vstack(av).astype(np.float64)
+            y = np.vstack(bv).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "dot": np.cumsum(x * y, axis=1)[:, -1],
+                    "na": np.sqrt(np.cumsum(x * x, axis=1)[:, -1]),
+                    "nb": np.sqrt(np.cumsum(y * y, axis=1)[:, -1]),
+                }
+            )
+        out = pd.DataFrame(
             {
-                "dot": np.cumsum(x * y, axis=1)[:, -1],
-                "na": np.sqrt(np.cumsum(x * x, axis=1)[:, -1]),
-                "nb": np.sqrt(np.cumsum(y * y, axis=1)[:, -1]),
+                "dot": pd.array([pd.NA] * len(av), dtype="Float64"),
+                "na": pd.array([pd.NA] * len(av), dtype="Float64"),
+                "nb": pd.array([pd.NA] * len(av), dtype="Float64"),
             }
         )
+        if valid.any() and dim:
+            x = np.vstack(av[valid]).astype(np.float64)
+            y = np.vstack(bv[valid]).astype(np.float64)
+            out.loc[valid, "dot"] = np.cumsum(x * y, axis=1)[:, -1]
+            out.loc[valid, "na"] = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            out.loc[valid, "nb"] = np.sqrt(np.cumsum(y * y, axis=1)[:, -1])
+        return out
 
     return parts
 
@@ -92,8 +122,12 @@ def cosine_topk(
     Ties break on neighbor id ascending for determinism.
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
-    queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"))
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__q")
+    )
     scored = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
@@ -192,13 +226,13 @@ def lsh_topk(
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     probes = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
     queries = query_df.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__q"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "base"),
     ).select(
         "query_id",
@@ -286,8 +320,8 @@ def embedding_near_dupes_lsh(
         df.schema[id_col].dataType.simpleString(),
         max_bucket_size,
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -389,12 +423,12 @@ def ivf_topk(
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
         F.element_at(nearest1(F.col(vec_col)), 1).alias("cluster"),
     )
     queries = query_df.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__q"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
         F.explode(nearest_probe(F.col(vec_col))).alias("cluster"),
     )
     scored = (

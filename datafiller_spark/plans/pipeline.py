@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exceptions import EngineValueError
 from ..operators import cascade, encode_tier, model_gapfill, regular_grid, rollup
 from ..operators.impute import cascade_gapfill_encode_all, model_gapfill_encode
 from .checkpoint import incremental_filter, read_high_water, write_high_water
@@ -276,6 +277,14 @@ def run_pipeline(
     t0 = time.time()
     keys = list(key_cols)
     merging = bool(resume and output_dir)
+    if fused_from_raw and not (fused and gapfill and encode and not collect_metrics):
+        # the in-kernel 1m aggregation only exists inside the fused fast
+        # path; failing loudly beats silently benchmarking the wrong plan
+        raise EngineValueError(
+            "fused_from_raw requires fused=True, gapfill=True, encode=True, "
+            "collect_metrics=False (it is ignored-with-docs only for "
+            "warehouse/salted/resume runs)."
+        )
 
     prior_hw = None
     anchor_id = None
@@ -356,9 +365,12 @@ def run_pipeline(
                 min_samples_train=min_samples_train,
                 interpolate_gaps_less_than=interpolate_gaps_less_than,
             )
+        # chunk rows are small (one per key × calendar period); caching
+        # them means the returned encoded/tiers frames don't re-run the
+        # whole scan→rollup→kernel chain if the caller consumes them
+        all_enc = all_enc.cache()
         enc = {tier: all_enc.where(F.col("tier") == tier) for tier in TIER_CHAIN}
         if output_dir:
-            all_enc = all_enc.cache()
             _merge_write(
                 spark,
                 all_enc,

@@ -82,7 +82,7 @@ def main() -> None:
     print(f"# engine: {wall_engine:.1f}s", file=sys.stderr, flush=True)
 
     if args.skip_reference:
-        theirs, wall_ref = ours, float("nan")
+        theirs, wall_ref = None, None
     else:
         from _reference_oracle import load_reference
 
@@ -93,7 +93,11 @@ def main() -> None:
         print(f"# reference(shimmed): {wall_ref:.1f}s", file=sys.stderr, flush=True)
 
     err_engine = float(np.sqrt(np.mean((ours.to_numpy()[mask] - truth.to_numpy()[mask]) ** 2)))
-    err_ref = float(np.sqrt(np.mean((theirs.to_numpy()[mask] - truth.to_numpy()[mask]) ** 2)))
+    err_ref = (
+        None
+        if theirs is None
+        else float(np.sqrt(np.mean((theirs.to_numpy()[mask] - truth.to_numpy()[mask]) ** 2)))
+    )
     print(
         json.dumps(
             {
@@ -102,13 +106,17 @@ def main() -> None:
                 "engine_n_jobs": args.jobs,
                 "engine_wall_s": round(wall_engine, 3),
                 "engine_pts_per_s": round(masked_cells / wall_engine, 1),
-                "reference_shimmed_wall_s": round(wall_ref, 3),
-                "reference_shimmed_pts_per_s": round(masked_cells / wall_ref, 1),
-                "speedup_vs_shimmed_reference": round(wall_ref / wall_engine, 2),
+                "reference_shimmed_wall_s": None if wall_ref is None else round(wall_ref, 3),
+                "reference_shimmed_pts_per_s": (
+                    None if wall_ref is None else round(masked_cells / wall_ref, 1)
+                ),
+                "speedup_vs_shimmed_reference": (
+                    None if wall_ref is None else round(wall_ref / wall_engine, 2)
+                ),
                 "pattern": args.pattern,
                 "published_reference_wall_s": published,  # numba-compiled, unknown hw
                 "rmse_engine": round(err_engine, 4),
-                "rmse_reference": round(err_ref, 4),
+                "rmse_reference": None if err_ref is None else round(err_ref, 4),
             }
         )
     )

@@ -328,3 +328,24 @@ def test_signature_udf_matches_sql_expression_form(spark, sf_dir):
     )
     slow = {r.id: list(r.signature) for r in hashed.select("id", sig.alias("signature")).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_cosine_topk_null_vector_does_not_crash(spark):
+    """A null embedding row yields null cosine rows (dropped by
+    ranking/threshold), matching the SQL fold — never a stage crash."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = cosine_topk(emb, emb.where("vec_id = 0"), "vec_id", "embedding", k=2).collect()
+    ids = {r.neighbor_id for r in out}
+    assert 2 not in ids and len(out) == 2
+
+
+def test_banded_pairs_duplicate_id_values_emit_no_self_pairs(spark):
+    from datafiller_spark.operators.banding import banded_pairs
+    from pyspark.sql import functions as F
+
+    rows = [("d1", 0, 7), ("d1", 0, 7), ("d2", 0, 7)]  # duplicate id in one bucket
+    banded = spark.createDataFrame(rows, "id string, band int, val int")
+    pairs = banded_pairs(banded, ["band", "val"], "id", "string", 100).collect()
+    assert all(r.id_a != r.id_b for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} == {("d1", "d2")}

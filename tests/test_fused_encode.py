@@ -105,3 +105,42 @@ def test_pipeline_from_raw_matches_default(spark):
         )
 
     assert chunks(base) == chunks(fr)
+
+
+def test_from_raw_int32_sums_do_not_wrap(spark):
+    """int32 value columns must promote to int64 inside the kernel —
+    a bucket whose sum exceeds 2^31 would otherwise wrap negative."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    big = 1 << 30
+    rows = [("s1", datetime.datetime(2024, 1, 1, 0, 0, i * 10), big) for i in range(3)]
+    raw = spark.createDataFrame(rows, "source string, event_ts timestamp, n_tok int")
+    t1m = rollup(raw, ["source"], "event_ts", "n_tok", "1m")
+    tier_mode = cascade_gapfill_encode_all(t1m, ["source"], min_samples_train=20)
+    raw_mode = cascade_gapfill_encode_all(
+        raw, ["source"], min_samples_train=20, raw_ts_col="event_ts", raw_value_col="n_tok"
+    )
+    a = sorted((r.tier, r.chunk_start, bytes(r.payload)) for r in tier_mode.collect())
+    b = sorted((r.tier, r.chunk_start, bytes(r.payload)) for r in raw_mode.collect())
+    assert a == b and len(a) > 0
+    # the byte-equality above is the wrap detector: an int32 reduceat
+    # would make raw-mode's sum 3·2^30 − 2^32 = −2^30 and its avg
+    # diverge from tier-mode's int64 sum. Also pin the decoded avg:
+    ts, vals = decode_points(bytes(raw_mode.where("tier='1m'").first().payload))
+    assert vals[0] == float(big)  # avg of three 2^30 values, not wrapped
+
+
+def test_pipeline_fused_from_raw_misuse_raises(spark):
+    import pytest
+
+    from datafiller_spark.exceptions import EngineValueError
+    from datafiller_spark.plans import run_pipeline
+
+    seqs = synth_sequences(spark, 500, mean_tokens=8, span_minutes=60, n_sources=2)
+    with pytest.raises(EngineValueError, match="fused_from_raw"):
+        run_pipeline(
+            spark, seqs, ["source"], "event_ts", "n_tok",
+            fused_from_raw=True,  # without fused=True: must fail loudly
+        )
