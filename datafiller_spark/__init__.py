@@ -21,5 +21,23 @@ Architecture (Spark-first, not a port):
 __version__ = "0.1.0"
 
 from .exceptions import EngineError, EngineTypeError, EngineValueError
+# the reference's root API (reference src/datafiller/__init__.py:1-17),
+# importable the same way so its users can switch package names 1:1:
+# from datafiller_spark import TimeSeriesImputer, MultivariateImputer, ...
+from .kernels import (
+    ExtremeLearningMachine,
+    FastRidge,
+    MultivariateImputer,
+    TimeSeriesImputer,
+)
 
-__all__ = ["EngineError", "EngineTypeError", "EngineValueError", "__version__"]
+__all__ = [
+    "MultivariateImputer",
+    "TimeSeriesImputer",
+    "FastRidge",
+    "ExtremeLearningMachine",
+    "EngineError",
+    "EngineTypeError",
+    "EngineValueError",
+    "__version__",
+]

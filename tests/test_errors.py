@@ -76,3 +76,18 @@ def test_bad_cols_entry_type():
 def test_interp_gap_float_n_rejected():
     with pytest.raises(EngineTypeError):
         interpolate_small_gaps(pd.Series([1.0, np.nan, 2.0]), 2.0)
+
+
+def test_root_api_mirrors_reference_exports():
+    """A reference user switches packages 1:1: every name the reference
+    exports at its root (reference src/datafiller/__init__.py:8-16) has
+    an engine counterpart at datafiller_spark's root (its DataFiller*
+    exception names map to Engine*)."""
+    import datafiller_spark as d
+
+    for name in ("MultivariateImputer", "TimeSeriesImputer", "FastRidge",
+                 "ExtremeLearningMachine"):
+        assert hasattr(d, name), name
+        assert name in d.__all__
+    assert issubclass(d.EngineValueError, d.EngineError)
+    assert issubclass(d.EngineTypeError, d.EngineError)
