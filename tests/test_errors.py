@@ -91,3 +91,18 @@ def test_root_api_mirrors_reference_exports():
         assert name in d.__all__
     assert issubclass(d.EngineValueError, d.EngineError)
     assert issubclass(d.EngineTypeError, d.EngineError)
+
+
+def test_submodule_import_paths_mirror_reference():
+    """datafiller.datasets / datafiller.estimators import paths work
+    with the package name swapped."""
+    from datafiller_spark.datasets import (  # noqa: F401
+        add_contiguous_missing,
+        add_mar,
+        load_pems_bay,
+        load_titanic,
+    )
+    from datafiller_spark.estimators import (  # noqa: F401
+        ExtremeLearningMachine,
+        FastRidge,
+    )
