@@ -227,8 +227,21 @@ class MultivariateImputer:
         fallback: str | None = "simple",
         use_gram: bool | None = None,
         n_jobs: int | None = None,
+        rng: int | None = None,
+        verbose: int = 0,
+        scoring: str = "default",
+        device: str | None = None,
     ):
-        """``n_jobs``: impute target columns in parallel worker processes
+        """``rng``/``verbose``/``scoring``/``device``: the reference's
+        remaining constructor surface (reference imputer.py:176-187),
+        accepted so its users switch 1:1. ``rng`` seeds the default
+        classifier exactly like the reference
+        (``DecisionTreeClassifier(max_depth=4, random_state=rng)``);
+        ``verbose`` is accepted and ignored (no tqdm here); only
+        ``scoring="default"`` is implemented; ``device`` must be None —
+        the GPU path is out of scope (CPU parallelism is ``n_jobs``).
+
+        ``n_jobs``: impute target columns in parallel worker processes
         (column imputations are independent by construction — each reads
         the shared input matrix and writes only its own column — so the
         output is bit-identical to the serial loop, pinned by
@@ -241,10 +254,21 @@ class MultivariateImputer:
             raise EngineValueError(f"fallback must be 'simple' or None, got {fallback!r}")
         if n_jobs is not None and (not isinstance(n_jobs, int) or (n_jobs < 1 and n_jobs != -1)):
             raise EngineValueError("n_jobs must be a positive int, -1 (all cores), or None.")
+        if scoring != "default":
+            raise EngineValueError("only the default feature scoring is implemented.")
+        if device is not None:
+            raise EngineValueError(
+                "device must be None: the GPU path is out of scope for this engine "
+                "(use n_jobs for CPU parallelism)."
+            )
         self.n_jobs = n_jobs
+        self.rng = rng
+        self.verbose = verbose
         self.regressor: Any = regressor if regressor is not None else FastRidge()
         self.classifier: Any = (
-            classifier if classifier is not None else DecisionTreeClassifier(max_depth=4, random_state=0)
+            classifier
+            if classifier is not None
+            else DecisionTreeClassifier(max_depth=4, random_state=rng if rng is not None else 0)
         )
         self.min_samples_train = (
             _DEFAULT_MIN_SAMPLES_TRAIN if min_samples_train is None else int(min_samples_train)

@@ -91,7 +91,21 @@ class TimeSeriesImputer:
         add_time_features: bool = True,
         use_gram: bool | None = None,
         n_jobs: int | None = None,
+        classifier=None,
+        rng: int | None = None,
+        verbose: int = 0,
+        scoring: str = "default",
+        device: str | None = None,
+        time_column: str | None = None,
     ):
+        # the reference's remaining constructor surface (reference
+        # timeseries/imputer.py:93-107) so its users switch 1:1;
+        # time_column only matters for the Polars path (out of scope —
+        # pandas input uses its DatetimeIndex, same as the reference)
+        if time_column is not None and not isinstance(time_column, str):
+            raise EngineValueError("time_column must be a string or None.")
+        self.time_column = time_column
+        self.verbose = verbose
         lags = list(lags)
         if not all(isinstance(i, int) for i in lags):
             raise EngineValueError("lags must be an iterable of integers.")
@@ -106,10 +120,15 @@ class TimeSeriesImputer:
         self.add_time_features = add_time_features
         self.multivariate_imputer = MultivariateImputer(
             regressor=regressor,
+            classifier=classifier,
             min_samples_train=min_samples_train,
             fallback=fallback,
             use_gram=use_gram,
             n_jobs=n_jobs,
+            rng=rng,
+            verbose=verbose,
+            scoring=scoring,
+            device=device,
         )
         self.imputation_features_: dict | None = None
         #: cells filled per policy step on the last call — mirrors the

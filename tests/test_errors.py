@@ -106,3 +106,30 @@ def test_submodule_import_paths_mirror_reference():
         ExtremeLearningMachine,
         FastRidge,
     )
+
+
+def test_reference_constructor_surface_accepted():
+    """The reference's full constructor surface works with the package
+    name swapped: rng/verbose/scoring/classifier/time_column accepted,
+    device rejected with a clear message (GPU path out of scope)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from datafiller_spark import MultivariateImputer, TimeSeriesImputer
+    from datafiller_spark.exceptions import EngineValueError
+
+    MultivariateImputer(rng=0, verbose=1, scoring="default")
+    tsi = TimeSeriesImputer(lags=(1, -1), rng=0, verbose=1, time_column="time",
+                            min_samples_train=5)
+    idx = pd.date_range("2024-01-01", periods=40, freq="min")
+    df = pd.DataFrame({"a": np.arange(40.0)}, index=idx)
+    df.iloc[5:7] = np.nan
+    assert tsi(df).isna().sum().sum() == 0
+
+    with pytest.raises(EngineValueError, match="device"):
+        MultivariateImputer(device="cuda")
+    with pytest.raises(EngineValueError, match="scoring"):
+        MultivariateImputer(scoring="custom")
+    with pytest.raises(EngineValueError, match="time_column"):
+        TimeSeriesImputer(time_column=7)
