@@ -308,6 +308,9 @@ class MultivariateImputer:
             "min_samples_train": self.min_samples_train,
             "fallback": self.fallback,
             "use_gram": self.use_gram,
+            "n_jobs": self.n_jobs,
+            "rng": self.rng,
+            "verbose": self.verbose,
         }
 
     def set_params(self, **params) -> "MultivariateImputer":
