@@ -13,6 +13,7 @@ from .dedup import (
     simhash_duplicates,
     simhash_near_dupes,
 )
+from .wide import wide_gapfill
 from .sample import pack_sequences, sample_by_hash
 from .similarity import (
     cosine_topk,
@@ -26,6 +27,7 @@ from .asof import asof_join
 from .multimodal import extract_features, sample_frames
 
 __all__ = [
+    "wide_gapfill",
     "rollup",
     "cascade",
     "TIERS",
