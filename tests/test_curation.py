@@ -165,3 +165,22 @@ def test_apply_chunk_retention_boundary_reencode(spark, tmp_path):
         for r in tier.select("source", "bucket", "avg_value").collect()
     )
     assert a == b
+
+
+def test_dup_clusters_driver_and_distributed_paths_equal(spark):
+    """The hybrid's two paths (driver union-find vs distributed
+    pointer-jumping) must produce identical clusters."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "id_a string, id_b string",
+    )
+    fast = {
+        (r.doc_id, r.canonical_id, r.cluster_size)
+        for r in dup_clusters(pairs).collect()
+    }
+    slow = {
+        (r.doc_id, r.canonical_id, r.cluster_size)
+        for r in dup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert ("c", "a", 3) in fast and ("z", "x", 3) in fast and ("e", "d", 2) in fast
