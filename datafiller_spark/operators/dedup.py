@@ -53,16 +53,52 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingles(text_col: str, n: int):
-    """Distinct word n-grams per document (space-joined). Documents with
-    fewer than ``n`` words yield an empty array (sequence() would count
-    downward on a negative span otherwise)."""
+def _shingles_expr(text_col: str, n: int):
+    """Distinct word n-grams per document (space-joined) as a pure SQL
+    expression — the cross-engine CONTRACT the DuckDB oracles mirror.
+    Documents with fewer than ``n`` words yield an empty array
+    (sequence() would count downward on a negative span otherwise).
+    The hot path computes the same values in ``_shingles`` (pinned
+    equal by tests/test_dedup_similarity.py): this form's per-element
+    ``transform`` lambdas run in Spark's interpreted evaluator and cost
+    ~2.8 s per 5000-doc scan."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-grams in ONE Arrow stage — value-identical to
+    ``_shingles_expr`` (first-occurrence order preserved, like
+    ``array_distinct``)."""
+    import re
+
+    # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's
+    # trim() strips only 0x20 — replicate BOTH exactly or unicode
+    # whitespace splits differently than the SQL contract form
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("array<string>")
+    def shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                # size(null) fails the >= n condition in the SQL form,
+                # which then yields the empty array
+                out.append([])
+                continue
+            words = ws.split(t.strip(" ").lower())
+            if len(words) < n:
+                out.append([])
+                continue
+            grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return shingle(F.col(text_col))
 
 
 def ngram_jaccard_pairs(

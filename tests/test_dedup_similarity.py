@@ -349,3 +349,20 @@ def test_banded_pairs_duplicate_id_values_emit_no_self_pairs(spark):
     pairs = banded_pairs(banded, ["band", "val"], "id", "string", 100).collect()
     assert all(r.id_a != r.id_b for r in pairs)
     assert {(r.id_a, r.id_b) for r in pairs} == {("d1", "d2")}
+
+
+def test_shingles_udf_matches_sql_expression_form(spark, sf_dir):
+    """The vectorized shingler must equal the SQL expression form (the
+    oracle contract) document-for-document, order included."""
+    from datafiller_spark.operators.dedup import _shingles, _shingles_expr
+    from datafiller_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "one two"), (900004, "  a  b\tc  a b c ")],
+        "doc_id long, text string",
+    )
+    docs = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text").unionByName(extra)
+    fast = {r.doc_id: list(r.g) for r in docs.select("doc_id", _shingles("text", 3).alias("g")).collect()}
+    slow = {r.doc_id: list(r.g) for r in docs.select("doc_id", _shingles_expr("text", 3).alias("g")).collect()}
+    assert fast == slow and len(fast) > 0
