@@ -45,7 +45,7 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def _pair_cosine_udf():
+def _pair_cosine_udf(dim: int | None = None):
     """(vec_a, vec_b) → struct(dot, na, nb) in one Arrow batch.
 
     The SQL fold form (``aggregate(zip_with(...))``, kept above as the
@@ -58,7 +58,15 @@ def _pair_cosine_udf():
     identical doubles (pinned by tests/test_dedup_similarity.py). The
     operators cast their vector columns to array<double> at the
     boundary, so float32 inputs take ONE well-defined widening on both
-    the UDF and any SQL mirror."""
+    the UDF and any SQL mirror.
+
+    ``dim``, when given, is the corpus-wide expected width: rows whose
+    vectors differ from it are NULLed regardless of which Arrow batch
+    they land in. Without it the width is inferred from the first
+    non-null row of each batch (fine for clean single-width corpora,
+    but batch-composition-dependent on mixed-width data — callers that
+    know the width pass it)."""
+    expected = dim
 
     @F.pandas_udf("struct<dot:double,na:double,nb:double>")
     def parts(a: pd.Series, b: pd.Series) -> pd.DataFrame:
@@ -67,7 +75,7 @@ def _pair_cosine_udf():
         av, bv = a.to_numpy(), b.to_numpy()
         # null or ragged vectors get a NULL result row (what the SQL
         # fold yields on a null array) instead of crashing the stage
-        dim = next((len(v) for v in av if v is not None), 0)
+        dim = expected if expected else next((len(v) for v in av if v is not None), 0)
         valid = np.fromiter(
             (
                 u is not None and v is not None and len(u) == dim and len(v) == dim
@@ -104,9 +112,9 @@ def _pair_cosine_udf():
     return parts
 
 
-def _cosine6(a_col: str, b_col: str):
+def _cosine6(a_col: str, b_col: str, dim: int | None = None):
     """round-6 cosine column from the vectorized pair parts."""
-    p = _pair_cosine_udf()(F.col(a_col), F.col(b_col))
+    p = _pair_cosine_udf(dim)(F.col(a_col), F.col(b_col))
     return F.round(p["dot"] / (p["na"] * p["nb"]), 6)
 
 
@@ -116,11 +124,16 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self-match excluded).
 
     Ties break on neighbor id ascending for determinism.
     Output: (query_id, neighbor_id, cosine, rank).
+
+    ``dim`` is optional here (exact path, no bucketing); pass it on
+    mixed-width or dirty corpora so ragged rows are NULLed corpus-wide
+    instead of per-Arrow-batch.
     """
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v")
@@ -131,7 +144,7 @@ def cosine_topk(
     scored = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        _cosine6("__q", "__v").alias("cosine"),
+        _cosine6("__q", "__v", dim).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -176,6 +189,7 @@ def _bucket_udf(df: DataFrame, tables: list[np.ndarray]):
     stacked = np.ascontiguousarray(np.concatenate(tables, axis=0))  # (T*P, dim)
     n_tables = len(tables)
     n_planes = tables[0].shape[0]
+    dim = stacked.shape[1]
     bc = df.sparkSession.sparkContext.broadcast(stacked)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -183,11 +197,28 @@ def _bucket_udf(df: DataFrame, tables: list[np.ndarray]):
     def buckets(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype=object)
-        x = np.vstack(v.to_numpy()).astype(np.float64)
-        proj = x @ bc.value.T  # (n, T*P)
-        bits = (proj >= 0).reshape(len(x), n_tables, n_planes)
-        ids = (bits * weights).sum(axis=2).astype(np.int32)
-        return pd.Series(list(ids))
+        vv = v.to_numpy()
+        # null / wrong-width vectors get a NULL bucket array so the row
+        # drops at the posexplode/join instead of killing the stage
+        # (mirrors _pair_cosine_udf's contract on dirty data)
+        valid = np.fromiter(
+            (u is not None and len(u) == dim for u in vv), dtype=bool, count=len(vv)
+        )
+        if valid.all():
+            x = np.vstack(vv).astype(np.float64)
+            proj = x @ bc.value.T  # (n, T*P)
+            bits = (proj >= 0).reshape(len(x), n_tables, n_planes)
+            ids = (bits * weights).sum(axis=2).astype(np.int32)
+            return pd.Series(list(ids))
+        out = np.full(len(vv), None, dtype=object)
+        if valid.any():
+            x = np.vstack(vv[valid]).astype(np.float64)
+            proj = x @ bc.value.T
+            bits = (proj >= 0).reshape(len(x), n_tables, n_planes)
+            ids = (bits * weights).sum(axis=2).astype(np.int32)
+            for i, row in zip(np.nonzero(valid)[0], ids):
+                out[i] = row
+        return pd.Series(out)
 
     return buckets
 
@@ -246,7 +277,7 @@ def lsh_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        _cosine6("__q", "__v").alias("cosine"),
+        _cosine6("__q", "__v", dim).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -325,7 +356,7 @@ def embedding_near_dupes_lsh(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", _cosine6("__a", "__b").alias("cosine"))
+        .select("id_a", "id_b", _cosine6("__a", "__b", dim).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -350,7 +381,10 @@ def train_ivf_centroids(
     # with per-partition size-k heaps, no global sort, no full collect
     sample = (
         df.select(F.col(vec_col).alias("__v"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        # dirty rows (null / wrong-width vectors) are excluded from
+        # training just as the bucket/centroid UDFs NULL them out
+        .where(F.col("__v").isNotNull() & (F.size("__v") == dim))
+        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)))
         .limit(sample_size)
         .collect()
     )
@@ -376,21 +410,35 @@ def _nearest_clusters_udf(df: DataFrame, centroids: np.ndarray, top: int):
     cosine, ties broken by the LARGER centroid id first (the reversed
     lexicographic array_sort of (similarity, id) structs)."""
     cents = np.ascontiguousarray(centroids.astype(np.float64))
+    dim = cents.shape[1]
     bc = df.sparkSession.sparkContext.broadcast(cents)
 
-    @F.pandas_udf("array<int>")
-    def nearest(v: pd.Series) -> pd.Series:
-        if not len(v):
-            return pd.Series([], dtype=object)
-        x = np.vstack(v.to_numpy()).astype(np.float64)
+    def _rank(x: np.ndarray) -> list:
         norms = np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-300)
         sims = (x @ bc.value.T) / norms  # (n, k)
         k = sims.shape[1]
         # stable argsort over the column-reversed matrix: descending
         # similarity with ties taking the LARGER id, fully vectorized
         order_rev = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, : min(top, k)]
-        out = (k - 1 - order_rev).astype(np.int32)
-        return pd.Series(list(out))
+        return list((k - 1 - order_rev).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        vv = v.to_numpy()
+        # null / wrong-width vectors → NULL cluster list; the row drops
+        # at element_at/explode+join instead of crashing the stage
+        valid = np.fromiter(
+            (u is not None and len(u) == dim for u in vv), dtype=bool, count=len(vv)
+        )
+        if valid.all():
+            return pd.Series(_rank(np.vstack(vv).astype(np.float64)))
+        out = np.full(len(vv), None, dtype=object)
+        if valid.any():
+            for i, row in zip(np.nonzero(valid)[0], _rank(np.vstack(vv[valid]).astype(np.float64))):
+                out[i] = row
+        return pd.Series(out)
 
     return nearest
 
@@ -437,7 +485,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cosine6("__q", "__v").alias("cosine"),
+            _cosine6("__q", "__v", dim).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -366,3 +366,46 @@ def test_shingles_udf_matches_sql_expression_form(spark, sf_dir):
     fast = {r.doc_id: list(r.g) for r in docs.select("doc_id", _shingles("text", 3).alias("g")).collect()}
     slow = {r.doc_id: list(r.g) for r in docs.select("doc_id", _shingles_expr("text", 3).alias("g")).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_dirty_embeddings_do_not_crash_bucketed_paths(spark):
+    """Null and wrong-width embedding rows must drop out of every
+    bucketed/ANN path (NULL bucket/cluster arrays), never crash the
+    stage — and clean rows must still pair up (ADVICE r3 medium)."""
+    from datafiller_spark.operators import embedding_near_dupes_lsh, ivf_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0
+        (2, None),                   # null vector
+        (3, [0.5, 0.5]),             # ragged (wrong width)
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    lsh = lsh_topk(emb, emb.where("vec_id = 0"), "vec_id", "embedding", k=2, dim=4).collect()
+    assert {r.neighbor_id for r in lsh} and all(r.neighbor_id not in (2, 3) for r in lsh)
+    assert any(r.neighbor_id == 1 for r in lsh)
+
+    nd = embedding_near_dupes_lsh(
+        emb, "vec_id", "embedding", threshold=0.95, dim=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in nd} == {(0, 1)}
+
+    ivf = ivf_topk(
+        emb.where("embedding is not null and size(embedding) = 4"),
+        emb.where("vec_id = 0"),
+        "vec_id",
+        "embedding",
+        k=2,
+        n_clusters=2,
+        nprobe=2,
+        dim=4,
+    )
+    # dirty corpus through the centroid UDFs as well
+    ivf_dirty = ivf_topk(
+        emb, emb.where("vec_id = 0"), "vec_id", "embedding", k=2, n_clusters=2, nprobe=2, dim=4
+    ).collect()
+    assert all(r.neighbor_id not in (2, 3) for r in ivf_dirty)
+    assert any(r.neighbor_id == 1 for r in ivf_dirty)
+    assert ivf.count() > 0
