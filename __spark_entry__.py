@@ -66,6 +66,20 @@ _ORACLE_METRICS = """
 """
 
 
+def _safe_avg_col():
+    """avg_value derived from the ROUNDED sum — the scale-factor-proof
+    float policy (BASELINE.md "rounding-boundary specimen"): round(sum,4)
+    collapses the engines' summation-order ULP difference, so every
+    downstream expression (gap fills, lags, codec, scores, model kernels)
+    starts from bit-identical doubles on both engines and later 6-decimal
+    rounds cannot flip at a boundary. The raw ``avg_value`` the rollup
+    operator emits stays available for engine use; this is the
+    comparison-boundary policy."""
+    return (F.round("sum_value", 4) / F.col("n_points")).alias("avg_value")
+
+_ORACLE_SAFE_AVG = "round(sum(value), 4) / count(value) AS avg_value"
+
+
 def _events_tier(spark, sf_dir, tier):
     return rollup(load_table(spark, sf_dir, "events"), ["event_type"], "ts", "value", tier)
 
@@ -73,14 +87,14 @@ def _events_tier(spark, sf_dir, tier):
 def _grid_with_avg(spark, sf_dir, tier):
     t = _events_tier(spark, sf_dir, tier)
     return regular_grid(
-        t.select("event_type", "bucket", "avg_value"), ["event_type"], "bucket", tier
+        t.select("event_type", "bucket", _safe_avg_col()), ["event_type"], "bucket", tier
     )
 
 
-_ORACLE_GRID_1H = """
+_ORACLE_GRID_1H = f"""
 WITH tier AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         sum(value) / count(value) AS avg_value
+         {_ORACLE_SAFE_AVG}
   FROM events GROUP BY 1, 2
 ),
 grid AS (
@@ -171,7 +185,7 @@ def q_freq_infer(spark, sf_dir):
 
 
 def q_lag_features_1h(spark, sf_dir):
-    t = _events_tier(spark, sf_dir, "1h")
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", _safe_avg_col())
     w = Window.partitionBy("event_type").orderBy("bucket")
     v = F.round("avg_value", 6)
     return t.select(
@@ -214,7 +228,7 @@ def q_time_features_1h(spark, sf_dir):
 def q_codec_roundtrip_1h(spark, sf_dir):
     """Rollup → Gorilla encode → decode → emit. Oracle is the plain
     rollup SQL: a hash match proves the codec round-trip at query level."""
-    t = _events_tier(spark, sf_dir, "1h")
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", _safe_avg_col())
     enc = encode_tier(t, ["event_type"], "bucket", "avg_value", "1h")
     dec = decode_tier(enc, ["event_type"], "bucket", "avg_value")
     return dec.select("event_type", "bucket", F.round("avg_value", 6).alias("avg_value"))
@@ -223,7 +237,7 @@ def q_codec_roundtrip_1h(spark, sf_dir):
 def q_model_gapfill_1h(spark, sf_dir):
     """Ridge gap-fill of the 1h tier (non-SQL-expressible: rows-only check;
     kernel parity is pinned by tests/test_impute_spark.py)."""
-    t = _events_tier(spark, sf_dir, "1h")
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", _safe_avg_col())
     filled = model_gapfill(
         t, ["event_type"], "bucket", ["avg_value"], lags=(1, 2, 3, -1, -2, -3), min_samples_train=20
     )
@@ -236,7 +250,7 @@ def q_model_gapfill_elm_1h(spark, sf_dir):
     estimator). Rows-only: model-based."""
     from datafiller_spark.kernels import ExtremeLearningMachine
 
-    t = _events_tier(spark, sf_dir, "1h")
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", _safe_avg_col())
     filled = model_gapfill(
         t,
         ["event_type"],
@@ -266,7 +280,7 @@ def q_feature_scores(spark, sf_dir):
     never materializing the pivoted matrix on one executor. The kernel
     formulation is cross-checked in tests/test_feature_scores.py.
     Output: (target, feature, score)."""
-    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", "avg_value")
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", _safe_avg_col())
     # m = rows of the virtual matrix = distinct buckets across all series
     m_df = t.select(F.countDistinct("bucket").alias("__m"))
     stats = t.groupBy("event_type").agg(
@@ -308,7 +322,7 @@ def q_gapfill_metrics(spark, sf_dir):
     depends on the model kernel."""
     from datafiller_spark.operators import gapfill_metrics
 
-    t = _events_tier(spark, sf_dir, "1h")
+    t = _events_tier(spark, sf_dir, "1h").select("event_type", "bucket", _safe_avg_col())
     return gapfill_metrics(t, ["event_type"], "bucket", "avg_value", min_samples_train=20)
 
 
@@ -826,7 +840,7 @@ GROUP BY 1, 2
     sql["lag_features_1h"] = """
 WITH tier AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         sum(value) / count(value) AS avg_value
+         round(sum(value), 4) / count(value) AS avg_value
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, bucket,
@@ -855,7 +869,7 @@ FROM tier t JOIN spans s USING (event_type)
     sql["feature_scores"] = """
 WITH tier AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         sum(value) / count(value) AS avg_value
+         round(sum(value), 4) / count(value) AS avg_value
   FROM events GROUP BY 1, 2
 ),
 m AS (SELECT count(DISTINCT bucket) AS m FROM tier),
@@ -887,7 +901,7 @@ CROSS JOIN m
 """
     sql["codec_roundtrip_1h"] = """
 SELECT event_type, date_trunc('hour', ts) AS bucket,
-       round(sum(value) / count(value), 6) AS avg_value
+       round(round(sum(value), 4) / count(value), 6) AS avg_value
 FROM events GROUP BY 1, 2
 """
     sql["tokens_meta"] = f"""
