@@ -330,7 +330,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    driver_threshold: int = 5_000_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS → one canonical id
     per duplicate cluster (the "keep one copy per cluster" step every
@@ -340,11 +340,15 @@ def dup_clusters(
     Hybrid by edge count — the standard shape for this op:
 
     - ≤ ``driver_threshold`` pairs: union-find on the driver. Verified
-      near-dup pair sets are tiny relative to the corpus (even 5M pairs
-      is a few hundred MB), and the distributed loop's ~4 jobs/round of
-      pure scheduling overhead dwarf milliseconds of union-find
-      (measured 20.7 s → sub-second on the sf0.1 query's few hundred
-      edges).
+      near-dup pair sets are tiny relative to the corpus, and the
+      distributed loop's ~4 jobs/round of pure scheduling overhead
+      dwarf milliseconds of union-find (measured 20.7 s → sub-second
+      on the sf0.1 query's few hundred edges). The edges arrive via
+      Arrow (``toPandas``), two plain columns — at the 1M default
+      that's ~16 MB for long ids (~2×8 B/edge; strings cost their
+      bytes + ~50 B object overhead each), plus the union-find dict at
+      ~100 B/node. Multi-GB py4j Row lists are not possible on this
+      path by default.
     - above it: min-label propagation with pointer jumping — each round
       every node takes the min of its neighbors' labels and then
       shortcuts through its label's own label, so labels race down long
@@ -363,10 +367,12 @@ def dup_clusters(
     if driver_threshold:
         # ONE materialization decides the path AND feeds it: limit+1
         # rows prove over/under threshold without a separate count job
-        # (which would recompute the whole upstream pairs pipeline)
-        collected = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
-        if len(collected) > driver_threshold:
-            collected = None
+        # (which would recompute the whole upstream pairs pipeline).
+        # Arrow-collected into two plain columns — never py4j Rows.
+        pdf = pairs.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
+        if len(pdf) <= driver_threshold:
+            collected = (pdf[id_a].to_numpy(), pdf[id_b].to_numpy())
+        del pdf
     if collected is not None:
         spark = pairs.sparkSession
         parent: dict = {}
@@ -379,8 +385,8 @@ def dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in collected:
-            a, b = r[0], r[1]
+        for a, b in zip(*collected):
+            a, b = a.item() if hasattr(a, "item") else a, b.item() if hasattr(b, "item") else b
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
