@@ -33,6 +33,7 @@ result is unchanged, only the incremental saving is lost.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -66,9 +67,23 @@ def read_high_water(
     # The head copy is overwritten when THIS run commits; snapshot its
     # files to a run-scoped temp dir so the lazy plan outlives the
     # overwrite. File copy, not collect: O(bytes), zero driver rows.
+    # The temp dir must outlive the COMMIT (returned lazy frames may
+    # re-read it on cache eviction), so it is reaped at process exit
+    # rather than per-run — a long-lived driver leaks zero dirs.
     tmp = os.path.join(tempfile.mkdtemp(prefix="dfspark_hw_"), "hw")
+    _TEMP_HW_DIRS.append(os.path.dirname(tmp))
     shutil.copytree(head, tmp)
     return spark.read.parquet(tmp)
+
+
+_TEMP_HW_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_hw_temp_dirs() -> None:
+    for d in _TEMP_HW_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _TEMP_HW_DIRS.clear()
 
 
 def write_high_water(

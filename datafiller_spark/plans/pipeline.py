@@ -162,6 +162,45 @@ def _new_snapshot_id() -> str:
     return str(uuid.uuid4())
 
 
+# Persisted-warehouse layout contract version. v2: tier=<t> directories
+# hold OBSERVED rows (gap-filled values live only in chunks/ and query
+# results); v1 (pre round-3) persisted gap-filled rows in tier=<t>.
+# Merging v2 observed deltas into a v1 directory would silently retain
+# synthetic values as ground truth, so resumes refuse on version skew.
+LAYOUT_VERSION = 2
+
+
+def _check_layout(output_dir: str, merging: bool) -> None:
+    """Stamp the layout version on fresh warehouses; refuse to resume
+    into one written under an older layout contract."""
+    marker = os.path.join(output_dir, "_layout_version")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            found = int(fh.read().strip() or 0)
+        if found != LAYOUT_VERSION:
+            raise EngineValueError(
+                f"warehouse at {output_dir!r} has layout v{found}, engine "
+                f"expects v{LAYOUT_VERSION}: tier directories predate the "
+                "observed-rows contract. Rebuild the warehouse from raw "
+                "(a full, non-resume run into a fresh output_dir) instead "
+                "of resuming into it."
+            )
+        return
+    has_prior = os.path.exists(os.path.join(output_dir, "_snapshots")) or os.path.exists(
+        os.path.join(output_dir, "tier=1m")
+    )
+    if merging and has_prior:
+        raise EngineValueError(
+            f"warehouse at {output_dir!r} has no layout marker — it was "
+            "written before layout versioning (pre-v2, gap-filled tier "
+            "rows). Refusing to merge observed deltas into it; rebuild "
+            "from raw into a fresh output_dir."
+        )
+    os.makedirs(output_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(str(LAYOUT_VERSION))
+
+
 def latest_snapshot_id(spark: SparkSession, output_dir: str) -> str | None:
     """Head of the snapshot chain, or None for a fresh warehouse."""
     path = os.path.join(output_dir, "_snapshots")
@@ -277,6 +316,8 @@ def run_pipeline(
     t0 = time.time()
     keys = list(key_cols)
     merging = bool(resume and output_dir)
+    if output_dir:
+        _check_layout(output_dir, merging)
     if fused_from_raw and not (fused and gapfill and encode and not collect_metrics):
         # the in-kernel 1m aggregation only exists inside the fused fast
         # path; failing loudly beats silently benchmarking the wrong plan

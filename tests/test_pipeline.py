@@ -371,3 +371,33 @@ def test_retention_then_resume_does_not_resurrect_dropped_data(spark, tmp_path):
     a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
     b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
     assert a == b
+
+
+def test_layout_version_guard(spark, seqs, tmp_path):
+    """Fresh warehouses get a layout marker; resuming into a pre-marker
+    or wrong-version warehouse refuses (ADVICE r3: merging observed
+    deltas into v1 gap-filled tier rows would silently corrupt)."""
+    import pytest as _pytest
+
+    from datafiller_spark.exceptions import EngineValueError
+    from datafiller_spark.plans.pipeline import LAYOUT_VERSION
+
+    out = str(tmp_path / "lv")
+    run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", output_dir=out,
+                 collect_metrics=False, gapfill=False, encode=False)
+    marker = os.path.join(out, "_layout_version")
+    assert os.path.exists(marker)
+    assert int(open(marker).read()) == LAYOUT_VERSION
+
+    # unversioned prior warehouse → resume refuses
+    os.remove(marker)
+    with _pytest.raises(EngineValueError, match="layout"):
+        run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", output_dir=out,
+                     resume=True, collect_metrics=False, gapfill=False, encode=False)
+
+    # stale version → any persisted run refuses
+    with open(marker, "w") as fh:
+        fh.write("1")
+    with _pytest.raises(EngineValueError, match="layout v1"):
+        run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", output_dir=out,
+                     resume=True, collect_metrics=False, gapfill=False, encode=False)
