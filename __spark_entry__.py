@@ -431,7 +431,14 @@ def q_ann_lsh_topk(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64, n_tables=8)
+    # tuned on the sf0.1 recall/cost curve (scripts/ann_recall_sweep.py,
+    # table in BENCH.md): recall@5 0.97 at ~48% of corpus scanned — the
+    # honest ceiling on UNCLUSTERED uniform vectors, where true top-5
+    # neighbors are barely more similar than random points
+    return lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5,
+        n_planes=12, dim=64, n_tables=32, probe_radius=2,
+    )
 
 
 def q_ivf_topk(spark, sf_dir):

@@ -159,6 +159,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> np.ndarray:
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for multi-probe: all bit patterns of Hamming weight
+    ≤ radius over ``n_planes`` bits, ordered by weight then bit index."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def _bucket_expr(vec_col, planes: np.ndarray):
     """Literal-expression sign-bucket id (reference form, kept ONLY as
     the cross-check oracle for the vectorized UDF — inlines n_planes×dim
@@ -232,6 +244,7 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int | None = None,
     n_tables: int = 4,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucketed candidates, exact cosine
     re-rank inside buckets.
@@ -239,10 +252,14 @@ def lsh_topk(
     Standard multi-table LSH: ``n_tables`` independent sets of
     ``n_planes`` hyperplanes; a corpus vector is a candidate if it shares
     a (table, bucket) with the query in ANY table, with multi-probe
-    (Hamming ≤ 1) flips on the query side. One table with few planes
-    either prunes nothing or misses most true neighbors; tables
-    multiply recall while candidate volume stays
-    ~``n_tables · (n_planes+1) / 2^n_planes`` of the corpus.
+    (Hamming ≤ ``probe_radius``) flips on the query side. One table with
+    few planes either prunes nothing or misses most true neighbors;
+    tables × probes multiply recall while candidate volume stays
+    ~``n_tables · n_probes / 2^n_planes`` of the corpus (n_probes =
+    Σ_{r≤radius} C(n_planes, r)). Tuning on the sf0.1 corpus:
+    scripts/ann_recall_sweep.py writes the recall/candidates curve to
+    BENCH.md — raise ``probe_radius`` (cheap, query-side only) before
+    raising ``n_tables`` (re-hashes the corpus).
 
     ``dim`` (the embedding width) is required: inferring it would cost a
     driver-side action on the corpus before the plan is even built.
@@ -260,7 +277,7 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    probes = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
+    probes = F.array(*[F.lit(int(m)) for m in _probe_masks(n_planes, probe_radius)])
     queries = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__q"),
