@@ -57,9 +57,19 @@ def infer_frequency(index: pd.DatetimeIndex):
 
 
 def regularize_index(df: pd.DataFrame) -> pd.DataFrame:
-    """Reindex to the complete regular grid; inserted rows are all-NaN."""
+    """Reindex to the complete regular grid; inserted rows are all-NaN.
+
+    The index is normalized to nanosecond unit first: pandas 2.x allows
+    us/ms-unit DatetimeIndexes (DuckDB/Arrow sources produce them), and
+    downstream time features derive from raw epoch integers — without
+    one fixed unit the SAME timestamps would yield float64 features
+    differing in their last bits, which float32 regressors (ELM)
+    amplify into visibly different fills. ns is the reference's (and
+    pandas' default) unit, so this is parity-preserving."""
     if not isinstance(df.index, pd.DatetimeIndex):
         raise EngineTypeError("DataFrame index must be a DatetimeIndex.")
+    if df.index.dtype != "datetime64[ns]":
+        df = df.set_axis(df.index.as_unit("ns"), axis=0)
     if df.index.freq is not None:
         # a DatetimeIndex carrying a freq IS the complete regular grid
         # (pandas validates freq against the data on construction) —

@@ -36,7 +36,20 @@ def get_spark(
     # worker processes as there are cores — nested BLAS threading would
     # oversubscribe the box quadratically (observed: n32 slower than n8).
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+        if var not in os.environ:
+            os.environ[var] = "1"
+            if var == "OPENBLAS_NUM_THREADS":
+                # The env var only reaches FRESH worker processes; the
+                # driver's numpy has usually already initialized its BLAS
+                # pool, and kernels' _ensure_blas_pinned treats a set env
+                # var as a user override and skips dlopen pinning. Pin the
+                # driver's loaded OpenBLAS here (we set the var, not the
+                # user) or driver-side kernel runs (oracle gates, tests)
+                # go multithreaded — nondeterministic float32 GEMM order
+                # vs the single-threaded executors.
+                from .kernels.multivariate import _pin_blas_single_thread
+
+                _pin_blas_single_thread()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")

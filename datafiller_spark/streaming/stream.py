@@ -120,9 +120,12 @@ def start_tier_pipeline_stream(
 
     from ..operators.bucket import time_bucket
     from ..operators.encode import _CHUNK_UNIT, encode_tier
-    from ..plans.pipeline import _merge_write
+    from ..plans.pipeline import _check_layout, _merge_write
 
     keys = list(key_cols)
+    # the stream writes observed tier rows (v2 layout) and merges into
+    # prior state — stamp fresh warehouses, refuse pre-versioning ones
+    _check_layout(output_dir, merging=True)
     tier_path = os.path.join(output_dir, f"tier={tier}")
     chunk_path = os.path.join(output_dir, f"chunks_tier={tier}")
     chunk_unit = _CHUNK_UNIT[tier]

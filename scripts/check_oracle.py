@@ -68,6 +68,110 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     return True, "ok"
 
 
+def _round6_half_up(v: float) -> float:
+    """Mirror Spark's round(col, 6): shortest-decimal repr of the double
+    (Double.toString semantics), then HALF_UP. Python's built-in round is
+    banker's — an exact-half cell (e.g. …8125, live at sf0.1) flips."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    f = float(v)
+    if math.isnan(f) or math.isinf(f):
+        return f
+    return float(Decimal(repr(f)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+_DUCKDB_TIER_1H = """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       round(sum(value), 4) / count(value) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _kernel_model_gapfill(con, lags, regressor_factory=None):
+    """In-process mirror of the driver's model_gapfill queries: DuckDB
+    independently materializes the 1h tier (same safe-avg SQL as the
+    value oracles), the engine KERNEL runs on it per series, and the
+    Spark query must match value-for-value — upgrading these
+    non-SQL-expressible queries from rows-only to value-checked
+    (template: tests/test_spline.py's cross-engine check)."""
+    from datafiller_spark.exceptions import EngineError
+    from datafiller_spark.kernels import TimeSeriesImputer
+
+    tier = con.execute(_DUCKDB_TIER_1H).fetchdf()
+    rows = []
+    for key, part in tier.groupby("event_type"):
+        frame = (
+            part[["bucket", "avg_value"]]
+            .sort_values("bucket")
+            .set_index("bucket")
+            .astype("float64")
+        )
+        imputer = TimeSeriesImputer(
+            lags=list(lags),
+            regressor=regressor_factory() if regressor_factory is not None else None,
+            min_samples_train=20,
+        )
+        try:
+            filled = imputer(frame)
+        except EngineError:
+            filled = frame
+        rows.extend(
+            (key, ts, _round6_half_up(v)) for ts, v in zip(filled.index, filled["avg_value"])
+        )
+    return pd.DataFrame(rows, columns=["event_type", "bucket", "avg_value"])
+
+
+def _kernel_gapfill_metrics(con):
+    from datafiller_spark.exceptions import EngineError
+    from datafiller_spark.kernels import TimeSeriesImputer
+
+    tier = con.execute(_DUCKDB_TIER_1H).fetchdf()
+    rows = []
+    for key, part in tier.groupby("event_type"):
+        frame = (
+            part[["bucket", "avg_value"]]
+            .sort_values("bucket")
+            .set_index("bucket")
+            .astype("float64")
+        )
+        imputer = TimeSeriesImputer(
+            lags=[1, 2, 3, -1, -2, -3], min_samples_train=20, interpolate_gaps_less_than=4
+        )
+        try:
+            filled = imputer(frame)
+            counts = imputer.fill_counts_
+            n_grid = len(filled)
+            unfilled = int(filled.isna().sum().sum())
+        except EngineError:
+            counts = {"interp": 0, "model": 0, "fallback": 0}
+            n_grid = len(frame)
+            unfilled = int(frame.isna().sum().sum())
+        rows.append(
+            (key, len(part), n_grid, counts["interp"], counts["model"],
+             counts["fallback"], unfilled)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_observed", "n_grid", "gaps_by_interp",
+                 "gaps_by_model", "gaps_by_fallback", "gaps_unfilled"],
+    )
+
+
+def _kernel_gates():
+    def elm():
+        from datafiller_spark.kernels import ExtremeLearningMachine
+
+        return ExtremeLearningMachine(n_features=50, random_state=0)
+
+    return {
+        "model_gapfill_1h": lambda con: _kernel_model_gapfill(con, (1, 2, 3, -1, -2, -3)),
+        "model_gapfill_elm_1h": lambda con: _kernel_model_gapfill(
+            con, (1, 2, -1, -2), regressor_factory=elm
+        ),
+        "gapfill_metrics": lambda con: _kernel_gapfill_metrics(con),
+    }
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from datafiller_spark.session import get_spark
@@ -75,6 +179,7 @@ def main() -> int:
     only = set(sys.argv[1:])
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    kernel_gates = _kernel_gates()
 
     con = duckdb.connect()
     for t in TABLES:
@@ -94,6 +199,23 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
+            gate = kernel_gates.get(name)
+            if gate is not None:
+                try:
+                    expected = gate(con)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"FAIL  {name:<26} kernel-gate error: {exc}")
+                    failures += 1
+                    continue
+                ok, msg = _values_equal(_canon(spark_df), _canon(expected))
+                verdict = "kchk" if ok else "FAIL"
+                print(
+                    f"{verdict}  {name:<26} {len(spark_df):>8} rows  "
+                    f"{time.time()-t0:5.1f}s  "
+                    f"{'(kernel value gate)' if ok else msg}"
+                )
+                failures += 0 if ok else 1
+                continue
             print(f"rows  {name:<26} {len(spark_df):>8} rows (no oracle) {time.time()-t0:5.1f}s")
             continue
         try:
