@@ -355,26 +355,68 @@ def embedding_near_dupes_lsh(
     tables = [_hyperplanes(dim, n_planes, seed=17 + 31 * t) for t in range(n_tables)]
     buckets = _bucket_udf(df, tables)
 
+    # ONE corpus scan: the vector rides through the bucket as banding
+    # payload (like simhash's signature), and pair expansion + cosine
+    # verification FUSE into the same Arrow stage — the kernel has each
+    # bucket's vectors in hand, so emitting (id_a, id_b, raw_cosine)
+    # avoids Arrow-serializing two payload vectors per candidate (the
+    # r3 plan re-scanned the corpus once per pair side; the interim
+    # payload-through-bucket form still shuttled ~1 KB per candidate).
     banded = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select("id", "__v", F.posexplode(buckets(F.col("__v"))).alias("table", "bucket"))
+    members = (
+        banded.groupBy("table", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id").alias("i"), F.col("__v").alias("p")))
+            ).alias("ids")
+        )
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    # ONE-shuffle candidate generation + vectorized pair expansion —
-    # shared with MinHash-LSH (see operators/banding.py for the why)
-    cand = banded_pairs(
-        banded,
-        ["table", "bucket"],
-        "id",
-        df.schema[id_col].dataType.simpleString(),
-        max_bucket_size,
+
+    def _pairs_with_cosine(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ids in pdf["ids"]:
+                arr = np.asarray([m["i"] for m in ids])
+                V = np.vstack([np.asarray(m["p"], dtype=np.float64) for m in ids])
+                i, j = np.triu_indices(len(arr), k=1)
+                keep = arr[i] != arr[j]  # duplicate id VALUES in one bucket
+                i, j = i[keep], j[keep]
+                if not len(i):
+                    continue
+                x, y = V[i], V[j]
+                # cumsum reproduces the SQL fold's left-to-right float64
+                # order BIT-exactly (see _pair_cosine_udf); the division
+                # order dot/(na*nb) matches too. round() stays JVM-side
+                # below so the rounding mode is Spark's own.
+                dot = np.cumsum(x * y, axis=1)[:, -1]
+                na = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(y * y, axis=1)[:, -1])
+                out_a.append(arr[i])
+                out_b.append(arr[j])
+                out_c.append(dot / (na * nb))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "__raw": np.concatenate(out_c),
+                    }
+                )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cand = members.select("ids").mapInPandas(
+        _pairs_with_cosine, schema=f"id_a {id_type}, id_b {id_type}, __raw double"
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b"))
+    # a pair surfaces once per shared table: dedupe the SMALL
+    # post-threshold set instead of every candidate with its payloads
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", _cosine6("__a", "__b", dim).alias("cosine"))
+        cand.select("id_a", "id_b", F.round("__raw", 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
