@@ -9,8 +9,8 @@ matrix, writes only its own column — the same property the kernel's
 ``n_jobs`` pool exploits on one node), so the cluster form is:
 
     broadcast the panel → one Spark task per column chunk, each running
-    ``TimeSeriesImputer(..., cols_to_impute=chunk)`` → driver stitches
-    the imputed columns.
+    ``TimeSeriesImputer(..., cols_to_impute=chunk)`` → assemble the
+    imputed columns.
 
 Every executor pays one lag-matrix build for its chunks (seconds) in
 exchange for cluster-wide fan-out of the pattern/optimask/ridge work —
@@ -18,14 +18,33 @@ the right trade once columns × patterns dwarf it. Outputs are
 bit-identical to the single-shot kernel (pinned by
 tests/test_wide_gapfill.py): per-column results do not depend on which
 other columns are being imputed in the same call.
+
+Assembly has two paths:
+
+- small panels: tasks return their imputed chunks and the driver
+  concatenates (2× result memory at peak — fine below the budget).
+- past ``spill_cell_budget`` cells (or with ``spill_dir`` set), each
+  task WRITES its chunk to parquet and returns only the path; the
+  driver streams the files into one preallocated float64 block, so
+  peak driver memory is the result plus ONE chunk. Parquet round-trips
+  float64 bit-exactly, so parity with the kernel is unchanged. On a
+  real cluster ``spill_dir`` must be shared storage (the same contract
+  as every other output_dir in the engine); the driver-local tempdir
+  default only works in local mode.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
+
+from ..exceptions import EngineValueError
 
 
 def wide_gapfill(
@@ -37,6 +56,8 @@ def wide_gapfill(
     n_nearest_features: int | float | None = None,
     add_time_features: bool = True,
     columns_per_task: int = 8,
+    spill_dir: str | None = None,
+    spill_cell_budget: int = 200_000_000,
 ) -> pd.DataFrame:
     """Impute a wide single-series panel across the cluster.
 
@@ -45,6 +66,13 @@ def wide_gapfill(
             TimeSeriesImputer input shape).
         columns_per_task: chunk size — small enough to fan out, large
             enough to amortize the per-task lag-matrix build.
+        spill_dir: directory for chunk parquet files; setting it forces
+            the spill path. Must be cluster-shared storage off local
+            mode.
+        spill_cell_budget: rows × columns above which chunks spill to
+            parquet instead of riding the driver collect (default 2e8
+            cells ≈ 1.6 GB of float64 — the collect path would briefly
+            need twice that).
 
     Returns the fully imputed frame, bit-identical to
     ``TimeSeriesImputer(...)(frame, n_nearest_features=...)`` run
@@ -55,9 +83,27 @@ def wide_gapfill(
     cols = list(frame.columns)
     chunks = [cols[i : i + columns_per_task] for i in range(0, len(cols), columns_per_task)]
     lags_list = [int(x) for x in lags]
+
+    numeric = all(
+        np.issubdtype(dt, np.number) or np.issubdtype(dt, np.bool_) for dt in frame.dtypes
+    )
+    spill = spill_dir is not None or frame.shape[0] * len(cols) > spill_cell_budget
+    if spill and not numeric:
+        raise EngineValueError(
+            "wide_gapfill spill assembly requires an all-numeric panel "
+            "(mixed-dtype panels must fit the driver-collect budget)."
+        )
+    tmp_created = None
+    if spill and spill_dir is None:
+        tmp_created = tempfile.mkdtemp(prefix="dfspark_wide_")
+        spill_dir = tmp_created
+    if spill:
+        os.makedirs(spill_dir, exist_ok=True)
+
     bc = spark.sparkContext.broadcast(frame)
 
-    def impute_chunk(chunk: list) -> pd.DataFrame:
+    def impute_chunk(task):
+        ci, chunk = task
         imputer = TimeSeriesImputer(
             lags=lags_list,
             min_samples_train=min_samples_train,
@@ -67,13 +113,34 @@ def wide_gapfill(
         filled = imputer(
             bc.value, cols_to_impute=list(chunk), n_nearest_features=n_nearest_features
         )
-        return filled[list(chunk)]
+        piece = filled[list(chunk)]
+        if not spill:
+            return ci, piece
+        # positional string column names: parquet requires strings and
+        # sensor labels are often ints; the driver restores by position
+        path = os.path.join(spill_dir, f"chunk_{ci:06d}.parquet")
+        piece.set_axis([f"c{k}" for k in range(piece.shape[1])], axis=1).reset_index(
+            drop=True
+        ).to_parquet(path)
+        return ci, path
 
-    pieces = (
-        spark.sparkContext.parallelize(chunks, numSlices=len(chunks))
+    results = (
+        spark.sparkContext.parallelize(list(enumerate(chunks)), numSlices=len(chunks))
         .map(impute_chunk)
         .collect()
     )
-    out = pd.concat(pieces, axis=1)
+    results.sort(key=lambda r: r[0])
+    if not spill:
+        out = pd.concat([piece for _, piece in results], axis=1)
+        bc.unpersist()
+        return out[cols]
+
+    vals = np.empty((frame.shape[0], len(cols)), dtype=np.float64)
+    for ci, path in results:
+        piece = pd.read_parquet(path)
+        lo = ci * columns_per_task
+        vals[:, lo : lo + piece.shape[1]] = piece.to_numpy(dtype=np.float64)
     bc.unpersist()
-    return out[cols]
+    if tmp_created is not None:
+        shutil.rmtree(tmp_created, ignore_errors=True)
+    return pd.DataFrame(vals, index=frame.index, columns=cols)
