@@ -139,3 +139,73 @@ def test_late_row_beyond_watermark_healed_by_batch_resume(spark, tmp_path):
     a = sorted(map(tuple, persisted.select("source", "bucket", "n_points", "sum_value").collect()))
     b = sorted(map(tuple, single.select("source", "bucket", "n_points", "sum_value").collect()))
     assert a == b
+
+
+def test_late_microbatch_reencodes_chunk_payload_byte_equal(spark, tmp_path):
+    """A late (in-watermark) micro-batch landing inside an ALREADY
+    ENCODED Gorilla chunk period must leave chunk payloads byte-equal to
+    a batch encode_tier rerun over the merged tier — the re-encode claim
+    in streaming/stream.py, proven at the payload level rather than on
+    tier rows."""
+    import datetime
+
+    from datafiller_spark.operators import decode_tier, encode_tier
+    from datafiller_spark.streaming import start_tier_pipeline_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "source string, event_ts timestamp, n_tok int"
+
+    def rows(lo, hi):
+        return [
+            (s, base + datetime.timedelta(minutes=m, seconds=30), m + 1)
+            for m in range(lo, hi)
+            for s in ("a", "b")
+        ]
+
+    src = tmp_path / "re_src"
+    out = tmp_path / "re_out"
+    ckpt = tmp_path / "re_ckpt"
+    spark.createDataFrame(rows(0, 30), schema).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_tier_pipeline_stream(
+            stream, ["source"], "event_ts", "n_tok",
+            output_dir=str(out), checkpoint_dir=str(ckpt), watermark="5 minutes",
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first_chunks = {
+        (r.source, r.chunk_start): bytes(r.payload)
+        for r in spark.read.parquet(str(out / "chunks_tier=1m")).collect()
+    }
+    assert first_chunks  # the day-chunk exists and is encoded
+
+    # the second micro-batch lands in the SAME day chunk (minutes 30-55
+    # of 2024-01-01): the touched chunk must be re-encoded from the
+    # merged tier, not appended to or left stale
+    spark.createDataFrame(rows(30, 56), schema).write.mode("append").parquet(str(src))
+    run_once()
+
+    tier = spark.read.parquet(str(out / "tier=1m"))
+    streamed = {
+        (r.source, r.chunk_start): bytes(r.payload)
+        for r in spark.read.parquet(str(out / "chunks_tier=1m")).collect()
+    }
+    batch = {
+        (r.source, r.chunk_start): bytes(r.payload)
+        for r in encode_tier(tier, ["source"], "bucket", "avg_value", "1m").collect()
+    }
+    assert streamed == batch
+    # payloads actually changed vs the first encode (the chunk grew)
+    assert any(streamed[k] != v for k, v in first_chunks.items())
+    # and decode back to the tier's avg values bit-exactly
+    decoded = {
+        (r.source, r.bucket): r.value
+        for r in decode_tier(
+            spark.read.parquet(str(out / "chunks_tier=1m")), ["source"], "bucket", "value"
+        ).collect()
+    }
+    for r in tier.collect():
+        assert decoded[(r.source, r.bucket)] == r.sum_value / r.n_points
