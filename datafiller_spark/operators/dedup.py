@@ -253,11 +253,23 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard.
 
     Output matches ``ngram_jaccard_pairs`` (a subset of it: candidates
     the bands caught). At scale this replaces the quadratic self-join.
+
+    CONTRACT NOTE — this operator is EAGER by default: the verified
+    pairs are computed and cached at call time (``materialize=True``),
+    because the shingle+signature frame must be persisted across the
+    banding and verification sides and released before returning.
+    Callers composing further pruning that should push INTO the pair
+    build (or managing caching themselves) can pass
+    ``materialize=False`` to get the fully lazy plan; the shingle cache
+    then stays registered until the returned frame is consumed, and the
+    caller owns unpersisting it via ``df.sparkSession.catalog`` or by
+    simply letting it age out of storage.
 
     ``max_bucket_size`` guards the band self-join against degenerate hot
     buckets (boilerplate-heavy corpora hash thousands of docs into one
@@ -316,6 +328,8 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if not materialize:
+        return out
     # materialize the (small) verified-pair result while the shingle
     # cache is hot, then release it — the pair rows stay cached, the
     # shingle+signature blocks (the big allocation) do not
