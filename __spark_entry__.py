@@ -445,14 +445,19 @@ def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (second ANN scale path besides LSH):
     inverted lists under k-means coarse centroids trained on a bounded
     seeded sample, nprobe-list probing, exact cosine re-rank.
-    Rows-only: approximate."""
+    Rows-only: approximate.
+
+    Config = the sweep's 0.9+ point (C=32 nprobe=24: recall@5 0.955 on
+    200 queries, 0.960 Spark-validated — BENCH.md table). On this
+    uniform corpus that scans ~75% of the lists; r3's C=16 nprobe=4 ran
+    ~25% but at recall 0.577, which is not a useful retrieval point."""
     from datafiller_spark.operators import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_clusters=16, nprobe=4, dim=64)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_clusters=32, nprobe=24, dim=64)
 
 
 def q_embedding_near_dupes(spark, sf_dir):

@@ -298,8 +298,16 @@ class TimeSeriesImputer:
         if not np.issubdtype(values.dtype, np.floating):
             try:
                 values = values.astype(np.float64)
-            except (TypeError, ValueError) as exc:
-                raise EngineValueError("TimeSeriesImputer requires numeric columns.") from exc
+            except (TypeError, ValueError):
+                # nullable extension dtypes (Float64/Int64) reach here as
+                # object arrays holding pd.NA, which plain astype rejects;
+                # pandas' own cast maps NA → NaN
+                try:
+                    values = df.astype("float64").to_numpy()
+                except (TypeError, ValueError) as exc:
+                    raise EngineValueError(
+                        "TimeSeriesImputer requires numeric columns."
+                    ) from exc
 
         feature_names = list(original_cols)
         for lag in self.lags:

@@ -30,7 +30,6 @@ def banded_pairs(
     max_bucket_size: int,
     payload_col: str | None = None,
     payload_type: str | None = None,
-    dedupe: bool = True,
 ) -> DataFrame:
     """(band_cols..., id[, payload]) rows → distinct candidate
     (id_a < id_b) pairs.
@@ -40,12 +39,9 @@ def banded_pairs(
     ``payload_a``/``payload_b`` — the verification step then needs no
     join back to the signature table. ``distinct`` stays correct
     because a pair's payloads are functionally determined by its ids.
-
-    ``dedupe=False`` skips the pre-verification distinct: a pair found
-    in k bands comes back k times. Callers whose verification keeps only
-    a small fraction (near-dup thresholds) dedupe AFTER filtering
-    instead — the duplicate verify work is vectorized and cheap, while
-    the skipped exchange shuffled every candidate with its payloads.
+    (Callers needing heavier fusion — pair expansion + verification in
+    one kernel, no pre-verify distinct — inline their own expansion the
+    way ``embedding_near_dupes_lsh`` does.)
     """
     if payload_col is None:
         collected = F.sort_array(F.collect_list(id_col)).alias("ids")
@@ -60,11 +56,6 @@ def banded_pairs(
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
 
-    # array-typed payloads (e.g. embedding vectors) must stay object
-    # arrays end-to-end: a uniform list of vectors would np.asarray into
-    # a 2-D matrix, whose fancy-indexed rows can't form a DataFrame column
-    payload_is_array = bool(payload_type) and payload_type.strip().lower().startswith("array")
-
     def _gen_pairs(batches):
         for pdf in batches:
             out_a, out_b, out_pa, out_pb = [], [], [], []
@@ -73,11 +64,7 @@ def banded_pairs(
                     arr = np.asarray(ids)
                 else:
                     arr = np.asarray([m["i"] for m in ids])
-                    if payload_is_array:
-                        pay = np.empty(len(ids), dtype=object)
-                        pay[:] = [m["p"] for m in ids]
-                    else:
-                        pay = np.asarray([m["p"] for m in ids])
+                    pay = np.asarray([m["p"] for m in ids])
                 i, j = np.triu_indices(len(arr), k=1)
                 # duplicate id VALUES in one bucket would pair with
                 # themselves here; the strict id_a < id_b contract (what
@@ -99,5 +86,8 @@ def banded_pairs(
     schema = f"id_a {id_type}, id_b {id_type}"
     if payload_col is not None:
         schema += f", payload_a {payload_type}, payload_b {payload_type}"
-    out = members.select("ids").mapInPandas(_gen_pairs, schema=schema)
-    return out.distinct() if dedupe else out
+    return (
+        members.select("ids")
+        .mapInPandas(_gen_pairs, schema=schema)
+        .distinct()
+    )

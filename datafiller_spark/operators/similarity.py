@@ -30,8 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .banding import banded_pairs
-
 
 def _dot(a, b):
     return F.aggregate(

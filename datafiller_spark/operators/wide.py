@@ -78,21 +78,26 @@ def wide_gapfill(
     ``TimeSeriesImputer(...)(frame, n_nearest_features=...)`` run
     locally.
     """
-    from ..kernels.timeseries import TimeSeriesImputer
+    from pandas.api.types import is_bool_dtype, is_numeric_dtype
+
+    from ..kernels.timeseries import TimeSeriesImputer, regularize_index
 
     cols = list(frame.columns)
     chunks = [cols[i : i + columns_per_task] for i in range(0, len(cols), columns_per_task)]
     lags_list = [int(x) for x in lags]
 
-    numeric = all(
-        np.issubdtype(dt, np.number) or np.issubdtype(dt, np.bool_) for dt in frame.dtypes
-    )
     spill = spill_dir is not None or frame.shape[0] * len(cols) > spill_cell_budget
-    if spill and not numeric:
+    if spill and not all(
+        is_numeric_dtype(dt) or is_bool_dtype(dt) for dt in frame.dtypes
+    ):
         raise EngineValueError(
             "wide_gapfill spill assembly requires an all-numeric panel "
             "(mixed-dtype panels must fit the driver-collect budget)."
         )
+    # the kernel regularizes the index (inserting all-NaN grid rows), so
+    # the spilled pieces have the REGULARIZED length and the assembled
+    # result must carry the regularized index — same as the collect path
+    out_index = regularize_index(frame.iloc[:, :0]).index if spill else None
     tmp_created = None
     if spill and spill_dir is None:
         tmp_created = tempfile.mkdtemp(prefix="dfspark_wide_")
@@ -135,12 +140,18 @@ def wide_gapfill(
         bc.unpersist()
         return out[cols]
 
-    vals = np.empty((frame.shape[0], len(cols)), dtype=np.float64)
+    vals = np.empty((len(out_index), len(cols)), dtype=np.float64)
     for ci, path in results:
         piece = pd.read_parquet(path)
+        if len(piece) != len(out_index):
+            raise EngineValueError(
+                f"spilled chunk {ci} has {len(piece)} rows, expected "
+                f"{len(out_index)} (regularized grid) — inconsistent "
+                "per-chunk regularization."
+            )
         lo = ci * columns_per_task
         vals[:, lo : lo + piece.shape[1]] = piece.to_numpy(dtype=np.float64)
     bc.unpersist()
     if tmp_created is not None:
         shutil.rmtree(tmp_created, ignore_errors=True)
-    return pd.DataFrame(vals, index=frame.index, columns=cols)
+    return pd.DataFrame(vals, index=out_index, columns=cols)

@@ -170,9 +170,9 @@ def _new_snapshot_id() -> str:
 LAYOUT_VERSION = 2
 
 
-def _check_layout(output_dir: str, merging: bool) -> None:
-    """Stamp the layout version on fresh warehouses; refuse to resume
-    into one written under an older layout contract."""
+def _check_layout(output_dir: str) -> None:
+    """Stamp the layout version on fresh warehouses; refuse to write
+    into one written under an older (or unversioned) layout contract."""
     marker = os.path.join(output_dir, "_layout_version")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -189,12 +189,16 @@ def _check_layout(output_dir: str, merging: bool) -> None:
     has_prior = os.path.exists(os.path.join(output_dir, "_snapshots")) or os.path.exists(
         os.path.join(output_dir, "tier=1m")
     )
-    if merging and has_prior:
+    if has_prior:
+        # refuse EVEN for non-resume runs: stamping v2 onto a pre-
+        # versioning warehouse would bless its leftover v1 artifacts
+        # (old chunk dirs, the prior snapshot chain) as v2, and the next
+        # resume would merge against mixed state with no way to tell
         raise EngineValueError(
             f"warehouse at {output_dir!r} has no layout marker — it was "
             "written before layout versioning (pre-v2, gap-filled tier "
-            "rows). Refusing to merge observed deltas into it; rebuild "
-            "from raw into a fresh output_dir."
+            "rows). Refusing to write into it; rebuild from raw into a "
+            "fresh output_dir."
         )
     os.makedirs(output_dir, exist_ok=True)
     with open(marker, "w") as fh:
@@ -317,7 +321,7 @@ def run_pipeline(
     keys = list(key_cols)
     merging = bool(resume and output_dir)
     if output_dir:
-        _check_layout(output_dir, merging)
+        _check_layout(output_dir)
     if fused_from_raw and not (fused and gapfill and encode and not collect_metrics):
         # the in-kernel 1m aggregation only exists inside the fused fast
         # path; failing loudly beats silently benchmarking the wrong plan

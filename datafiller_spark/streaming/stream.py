@@ -125,7 +125,7 @@ def start_tier_pipeline_stream(
     keys = list(key_cols)
     # the stream writes observed tier rows (v2 layout) and merges into
     # prior state — stamp fresh warehouses, refuse pre-versioning ones
-    _check_layout(output_dir, merging=True)
+    _check_layout(output_dir)
     tier_path = os.path.join(output_dir, f"tier={tier}")
     chunk_path = os.path.join(output_dir, f"chunks_tier={tier}")
     chunk_unit = _CHUNK_UNIT[tier]

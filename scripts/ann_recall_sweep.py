@@ -110,6 +110,8 @@ def sweep():
         (8, 8, 1), (8, 8, 2), (8, 12, 1), (8, 12, 2), (8, 16, 2),
         (10, 12, 2), (10, 16, 2), (10, 16, 3), (12, 16, 2), (12, 16, 3),
         (12, 24, 3), (10, 24, 2),
+        # frontier refinement — includes the shipped default (12, 32, 2)
+        (11, 16, 2), (11, 20, 2), (12, 24, 2), (12, 32, 2), (14, 32, 3),
     ]:
         c, frac = lsh_candidates(x, q_idx, planes, tables, radius)
         rows.append(("lsh", f"P={planes} T={tables} r={radius}", recall(c, exact), frac))

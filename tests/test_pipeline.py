@@ -394,6 +394,11 @@ def test_layout_version_guard(spark, seqs, tmp_path):
     with _pytest.raises(EngineValueError, match="layout"):
         run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", output_dir=out,
                      resume=True, collect_metrics=False, gapfill=False, encode=False)
+    # ... and so does a NON-resume run: stamping v2 onto it would bless
+    # leftover v1 artifacts (old chunks, snapshot chain) as v2
+    with _pytest.raises(EngineValueError, match="layout"):
+        run_pipeline(spark, seqs, ["source"], "event_ts", "n_tok", output_dir=out,
+                     collect_metrics=False, gapfill=False, encode=False)
 
     # stale version → any persisted run refuses
     with open(marker, "w") as fh:

@@ -87,3 +87,26 @@ def test_wide_gapfill_ten_thousand_columns_spills(spark, tmp_path):
     np.testing.assert_array_equal(
         out.iloc[:, 12:].to_numpy()[obs.to_numpy()], panel.iloc[:, 12:].to_numpy()[obs.to_numpy()]
     )
+
+
+def test_wide_gapfill_spill_with_missing_grid_rows(spark, tmp_path):
+    """A panel whose index is missing grid timestamps regularizes inside
+    the kernel (more output rows than input): the spill assembly must
+    carry the regularized index and still match the collect path."""
+    holed = _panel(n=120, k=10)
+    gappy = holed.drop(holed.index[[30, 31, 57]])  # drop grid rows
+    kwargs = dict(lags=(1, -1), min_samples_train=10, columns_per_task=4)
+    via_collect = wide_gapfill(spark, gappy, **kwargs)
+    via_spill = wide_gapfill(spark, gappy, spill_dir=str(tmp_path / "g"), **kwargs)
+    assert len(via_spill) == 120  # regularized back to the full grid
+    assert via_spill.index.equals(via_collect.index)
+    np.testing.assert_array_equal(via_collect.to_numpy(), via_spill.to_numpy())
+
+
+def test_wide_gapfill_extension_dtypes_collect_path(spark):
+    """Nullable pandas extension dtypes must not crash the dtype gate on
+    the (non-spill) collect path."""
+    holed = _panel(n=80, k=4)
+    ext = holed.astype("Float64")
+    out = wide_gapfill(spark, ext, lags=(1, -1), min_samples_train=10, columns_per_task=2)
+    assert out.isna().sum().sum() == 0
