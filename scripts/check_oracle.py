@@ -157,6 +157,142 @@ def _kernel_gapfill_metrics(con):
     )
 
 
+_DUCKDB_GRID_1H = """
+WITH tier AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 4) / count(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT event_type, min(bucket) lo, max(bucket) hi FROM tier GROUP BY 1)
+)
+SELECT g.event_type, g.bucket, t.avg_value
+FROM grid g LEFT JOIN tier t USING (event_type, bucket)
+ORDER BY 1, 2
+"""
+
+
+def _kernel_gap_spline(con, spark):
+    """In-process spline fill on the DuckDB-materialized 1h grid — the
+    same cross-engine check tests/test_spline.py pins, run inside the
+    gate so the driver query is value-checked every round."""
+    from datafiller_spark.kernels.spline import spline_interpolate
+
+    grid = con.execute(_DUCKDB_GRID_1H).fetchdf()
+    rows = []
+    for key, part in grid.groupby("event_type"):
+        part = part.sort_values("bucket")
+        filled = spline_interpolate(part["avg_value"].astype("float64"), max_gap=6)
+        rows.extend(
+            (key, ts, None if (v is None or math.isnan(v)) else _round6_half_up(v))
+            for ts, v in zip(part["bucket"], filled)
+        )
+    return pd.DataFrame(rows, columns=["event_type", "bucket", "filled"])
+
+
+def _load_embeddings_np():
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    # Spark widens the stored float32 per-element via cast(array<double>);
+    # float32 → float64 widening is exact, so this mirrors it bit-for-bit
+    x = np.vstack(emb["embedding"].to_numpy()[order]).astype(np.float64)
+    return ids, x
+
+
+def _pairwise_cosine6(q: np.ndarray, v: np.ndarray) -> float:
+    # identical accumulation to _pair_cosine_udf's cumsum (the SQL fold
+    # order) and the same division order, then HALF_UP like F.round
+    dot = np.cumsum(q * v)[-1]
+    na = math.sqrt(np.cumsum(q * q)[-1])
+    nb = math.sqrt(np.cumsum(v * v)[-1])
+    return _round6_half_up(dot / (na * nb))
+
+
+def _topk_rows(ids, x, cand: dict[int, set], k: int = 5):
+    """(query_id, neighbor_id, cosine, rank) from per-query candidate
+    index sets — descending rounded cosine, ties by neighbor id, exactly
+    the operators' window spec."""
+    rows = []
+    pos = {int(i): p for p, i in enumerate(ids)}
+    for qid in sorted(cand):
+        scored = [
+            (-_pairwise_cosine6(x[pos[qid]], x[ci]), int(ids[ci])) for ci in cand[qid]
+        ]
+        scored.sort()
+        for rank, (negc, nid) in enumerate(scored[:k], start=1):
+            rows.append((qid, nid, -negc, rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+
+def _kernel_ann_lsh_topk(con, spark):
+    """NumPy mirror of q_ann_lsh_topk's exact plan (P=12 T=32 r=2, k=5):
+    same hyperplane seeds and sign rule, same multi-probe masks, same
+    cumsum cosine and rank spec. Bucket signs share the operator's GEMM
+    up to the k=64 accumulation, which OpenBLAS evaluates identically at
+    this width; a flip would need a projection within one ULP of zero."""
+    from datafiller_spark.operators.similarity import _hyperplanes, _probe_masks
+
+    ids, x = _load_embeddings_np()
+    n_planes, n_tables, radius, k = 12, 32, 2, 5
+    masks = np.array(_probe_masks(n_planes, radius), dtype=np.int64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    q_positions = np.nonzero(ids < 10)[0]
+    cand: dict[int, set] = {int(ids[p]): set() for p in q_positions}
+    for t in range(n_tables):
+        planes = _hyperplanes(x.shape[1], n_planes, seed=17 + 31 * t)
+        buckets = ((x @ planes.T >= 0) * weights).sum(axis=1)
+        by_bucket: dict[int, list] = {}
+        for p, b in enumerate(buckets):
+            by_bucket.setdefault(int(b), []).append(p)
+        for p in q_positions:
+            qid = int(ids[p])
+            for pb in buckets[p] ^ masks:
+                for m in by_bucket.get(int(pb), ()):
+                    if m != p:
+                        cand[qid].add(m)
+    return _topk_rows(ids, x, cand, k)
+
+
+def _kernel_ivf_topk(con, spark):
+    """Mirror of q_ivf_topk (C=32 nprobe=24, k=5): centroids from the
+    engine's own deterministic trainer (shared, like the model gates
+    share the kernel), assignment/probe via the exact argsort spec of
+    _nearest_clusters_udf, then cumsum cosine + rank."""
+    from pyspark.sql import functions as F
+
+    from datafiller_spark.operators.similarity import train_ivf_centroids
+    from datafiller_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    cents = train_ivf_centroids(emb, "embedding", 32, 64)
+    ids, x = _load_embeddings_np()
+    norms = np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-300)
+    sims = (x @ cents.T) / norms
+    kc = sims.shape[1]
+    order_rev = np.argsort(-sims[:, ::-1], axis=1, kind="stable")
+    ranked = kc - 1 - order_rev  # desc sim, ties -> larger id first
+    assign = ranked[:, 0]
+    probe = ranked[:, :24]
+    lists: dict[int, list] = {}
+    for p, c in enumerate(assign):
+        lists.setdefault(int(c), []).append(p)
+    q_positions = np.nonzero(ids < 10)[0]
+    cand: dict[int, set] = {}
+    for p in q_positions:
+        qid = int(ids[p])
+        s: set = set()
+        for c in probe[p]:
+            s.update(lists.get(int(c), ()))
+        s.discard(p)
+        cand[qid] = s
+    return _topk_rows(ids, x, cand, 5)
+
+
 def _kernel_gates():
     def elm():
         from datafiller_spark.kernels import ExtremeLearningMachine
@@ -164,11 +300,14 @@ def _kernel_gates():
         return ExtremeLearningMachine(n_features=50, random_state=0)
 
     return {
-        "model_gapfill_1h": lambda con: _kernel_model_gapfill(con, (1, 2, 3, -1, -2, -3)),
-        "model_gapfill_elm_1h": lambda con: _kernel_model_gapfill(
+        "model_gapfill_1h": lambda con, spark: _kernel_model_gapfill(con, (1, 2, 3, -1, -2, -3)),
+        "model_gapfill_elm_1h": lambda con, spark: _kernel_model_gapfill(
             con, (1, 2, -1, -2), regressor_factory=elm
         ),
-        "gapfill_metrics": lambda con: _kernel_gapfill_metrics(con),
+        "gapfill_metrics": lambda con, spark: _kernel_gapfill_metrics(con),
+        "gap_spline_1h": _kernel_gap_spline,
+        "ann_lsh_topk": _kernel_ann_lsh_topk,
+        "ivf_topk": _kernel_ivf_topk,
     }
 
 
@@ -202,7 +341,7 @@ def main() -> int:
             gate = kernel_gates.get(name)
             if gate is not None:
                 try:
-                    expected = gate(con)
+                    expected = gate(con, spark)
                 except Exception as exc:  # noqa: BLE001
                     print(f"FAIL  {name:<26} kernel-gate error: {exc}")
                     failures += 1
