@@ -158,8 +158,8 @@ def q_gap_small_1h(spark, sf_dir):
 def q_gap_spline_1h(spark, sf_dir):
     """Natural cubic-spline fill of interior gaps (north-star gap-fill
     menu; engine extra — no linear-SQL oracle exists for the tridiagonal
-    solve, so the driver records a rows-only check; kernel properties are
-    pinned by tests/test_spline.py)."""
+    solve; value-checked by check_oracle's in-process kernel gate on the
+    DuckDB-materialized grid, kernel properties by tests/test_spline.py)."""
     from datafiller_spark.operators import spline_fill
 
     g = _grid_with_avg(spark, sf_dir, "1h")
@@ -444,8 +444,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (second ANN scale path besides LSH):
     inverted lists under k-means coarse centroids trained on a bounded
-    seeded sample, nprobe-list probing, exact cosine re-rank.
-    Rows-only: approximate.
+    seeded sample, nprobe-list probing, exact cosine re-rank. No SQL
+    oracle (approximate); value-checked by check_oracle's exact NumPy
+    plan mirror.
 
     Config = the sweep's 0.9+ point (C=32 nprobe=24: recall@5 0.955 on
     200 queries, 0.960 Spark-validated — BENCH.md table). On this

@@ -5,8 +5,9 @@ hot buckets, then expand each bucket's pair combinations in a single
 vectorized Arrow stage (``np.triu_indices`` over the sorted id array).
 Replaces the window-count + banded⋈banded self-join + distinct shape,
 which costs three exchanges — and whose JVM higher-order pair expansion
-runs interpreted (~µs per struct). Used by MinHash-LSH (dedup.py) and
-embedding near-dup LSH (similarity.py).
+runs interpreted (~µs per struct). Used by MinHash-LSH and SimHash
+(dedup.py); embedding near-dup LSH (similarity.py) fuses its own
+expansion with cosine verification in one kernel instead.
 
 Per-task memory is one bucket's id list (≤ ``max_bucket_size``), the
 same bound the window form had. Oversize buckets contribute no

@@ -262,14 +262,14 @@ def minhash_lsh_pairs(
 
     CONTRACT NOTE — this operator is EAGER by default: the verified
     pairs are computed and cached at call time (``materialize=True``),
-    because the shingle+signature frame must be persisted across the
-    banding and verification sides and released before returning.
-    Callers composing further pruning that should push INTO the pair
-    build (or managing caching themselves) can pass
-    ``materialize=False`` to get the fully lazy plan; the shingle cache
-    then stays registered until the returned frame is consumed, and the
-    caller owns unpersisting it via ``df.sparkSession.catalog`` or by
-    simply letting it age out of storage.
+    because the shingle+signature frame is persisted across the banding
+    and verification sides and must be released before returning.
+    ``materialize=False`` returns the fully lazy plan with NO hidden
+    cache at all: the shingle+signature stage is then recomputed by
+    each side of the plan (one extra scan) — lazy composition and
+    zero retained executor storage, at the price of duplicate shingle
+    work. Pick eager for interactive/pipeline use, lazy when a caller
+    composes further pruning that must push into the pair build.
 
     ``max_bucket_size`` guards the band self-join against degenerate hot
     buckets (boilerplate-heavy corpora hash thousands of docs into one
@@ -278,11 +278,14 @@ def minhash_lsh_pairs(
     bucket are still caught by any of their other ``bands - 1`` bands.
     """
     rows_per_band = num_hashes // bands
-    # shingles + signatures in ONE frame, cached once for both the
-    # banding and the verification sides; the cache is dropped before
-    # returning (the result below is materialized eagerly first), so
-    # repeated calls can't accumulate large shingle blocks in storage
-    sig_grams = _shingled_signatures(df, id_col, text_col, n, num_hashes).persist()
+    # shingles + signatures in ONE frame; eager mode caches it for the
+    # banding and verification sides and drops it before returning (the
+    # result below is materialized first), so repeated calls can't
+    # accumulate large shingle blocks in storage. Lazy mode skips the
+    # persist entirely — both sides recompute, nothing is retained.
+    sig_grams = _shingled_signatures(df, id_col, text_col, n, num_hashes)
+    if materialize:
+        sig_grams = sig_grams.persist()
     # band bucket = md5 of the comma-joined signature slice (engine- and
     # SQL-computable, unlike F.hash's murmur)
     banded = sig_grams.select(

@@ -441,7 +441,11 @@ def train_ivf_centroids(
         # dirty rows (null / wrong-width vectors) are excluded from
         # training just as the bucket/centroid UDFs NULL them out
         .where(F.col("__v").isNotNull() & (F.size("__v") == dim))
-        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)))
+        # secondary sort on the vector string makes the order TOTAL for
+        # distinct values, so the sampled multiset is scan-order-proof;
+        # byte-identical vectors tying at the cut contribute identical
+        # values either way
+        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)), F.col("__v").cast("string"))
         .limit(sample_size)
         .collect()
     )

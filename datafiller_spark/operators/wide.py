@@ -69,10 +69,10 @@ def wide_gapfill(
         spill_dir: directory for chunk parquet files; setting it forces
             the spill path. Must be cluster-shared storage off local
             mode.
-        spill_cell_budget: rows × columns above which chunks spill to
-            parquet instead of riding the driver collect (default 2e8
-            cells ≈ 1.6 GB of float64 — the collect path would briefly
-            need twice that).
+        spill_cell_budget: REGULARIZED-grid rows × columns above which
+            chunks spill to parquet instead of riding the driver
+            collect (default 2e8 cells ≈ 1.6 GB of float64 — the
+            collect path would briefly need twice that).
 
     Returns the fully imputed frame, bit-identical to
     ``TimeSeriesImputer(...)(frame, n_nearest_features=...)`` run
@@ -86,18 +86,26 @@ def wide_gapfill(
     chunks = [cols[i : i + columns_per_task] for i in range(0, len(cols), columns_per_task)]
     lags_list = [int(x) for x in lags]
 
-    spill = spill_dir is not None or frame.shape[0] * len(cols) > spill_cell_budget
-    if spill and not all(
-        is_numeric_dtype(dt) or is_bool_dtype(dt) for dt in frame.dtypes
-    ):
-        raise EngineValueError(
-            "wide_gapfill spill assembly requires an all-numeric panel "
-            "(mixed-dtype panels must fit the driver-collect budget)."
-        )
     # the kernel regularizes the index (inserting all-NaN grid rows), so
-    # the spilled pieces have the REGULARIZED length and the assembled
-    # result must carry the regularized index — same as the collect path
-    out_index = regularize_index(frame.iloc[:, :0]).index if spill else None
+    # the BUDGET must count regularized rows (a sparse index can inflate
+    # the output well past the input row count), the spilled pieces have
+    # the regularized length, and the assembled result carries the
+    # regularized index — same as the collect path
+    out_index = regularize_index(frame.iloc[:, :0]).index
+    # spill assembles one float64 block: bools would come back 0.0/1.0
+    # and mixed dtypes can't assemble at all, so both stay on collect
+    spillable = all(
+        is_numeric_dtype(dt) and not is_bool_dtype(dt) for dt in frame.dtypes
+    )
+    spill = spill_dir is not None or len(out_index) * len(cols) > spill_cell_budget
+    if spill and not spillable:
+        if spill_dir is not None:
+            raise EngineValueError(
+                "wide_gapfill spill assembly requires an all-numeric "
+                "(non-bool) panel; mixed/bool panels use the driver-"
+                "collect path."
+            )
+        spill = False  # budget-triggered: fall back to collect
     tmp_created = None
     if spill and spill_dir is None:
         tmp_created = tempfile.mkdtemp(prefix="dfspark_wide_")
@@ -129,29 +137,31 @@ def wide_gapfill(
         ).to_parquet(path)
         return ci, path
 
-    results = (
-        spark.sparkContext.parallelize(list(enumerate(chunks)), numSlices=len(chunks))
-        .map(impute_chunk)
-        .collect()
-    )
-    results.sort(key=lambda r: r[0])
-    if not spill:
-        out = pd.concat([piece for _, piece in results], axis=1)
-        bc.unpersist()
-        return out[cols]
+    try:
+        results = (
+            spark.sparkContext.parallelize(list(enumerate(chunks)), numSlices=len(chunks))
+            .map(impute_chunk)
+            .collect()
+        )
+        results.sort(key=lambda r: r[0])
+        if not spill:
+            return pd.concat([piece for _, piece in results], axis=1)[cols]
 
-    vals = np.empty((len(out_index), len(cols)), dtype=np.float64)
-    for ci, path in results:
-        piece = pd.read_parquet(path)
-        if len(piece) != len(out_index):
-            raise EngineValueError(
-                f"spilled chunk {ci} has {len(piece)} rows, expected "
-                f"{len(out_index)} (regularized grid) — inconsistent "
-                "per-chunk regularization."
-            )
-        lo = ci * columns_per_task
-        vals[:, lo : lo + piece.shape[1]] = piece.to_numpy(dtype=np.float64)
-    bc.unpersist()
-    if tmp_created is not None:
-        shutil.rmtree(tmp_created, ignore_errors=True)
-    return pd.DataFrame(vals, index=out_index, columns=cols)
+        vals = np.empty((len(out_index), len(cols)), dtype=np.float64)
+        for ci, path in results:
+            piece = pd.read_parquet(path)
+            if len(piece) != len(out_index):
+                raise EngineValueError(
+                    f"spilled chunk {ci} has {len(piece)} rows, expected "
+                    f"{len(out_index)} (regularized grid) — inconsistent "
+                    "per-chunk regularization."
+                )
+            lo = ci * columns_per_task
+            vals[:, lo : lo + piece.shape[1]] = piece.to_numpy(dtype=np.float64)
+        return pd.DataFrame(vals, index=out_index, columns=cols)
+    finally:
+        # release the broadcast panel and the driver tempdir even when a
+        # task or the assembly fails
+        bc.unpersist()
+        if tmp_created is not None:
+            shutil.rmtree(tmp_created, ignore_errors=True)

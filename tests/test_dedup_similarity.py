@@ -409,3 +409,20 @@ def test_dirty_embeddings_do_not_crash_bucketed_paths(spark):
     assert all(r.neighbor_id not in (2, 3) for r in ivf_dirty)
     assert any(r.neighbor_id == 1 for r in ivf_dirty)
     assert ivf.count() > 0
+
+
+def test_minhash_lazy_mode_matches_eager(spark, docs_with_dupes):
+    """materialize=False returns the same verified pairs as the eager
+    default, with no hidden persisted state."""
+    # lazy FIRST: a later eager call caches an identical logical plan,
+    # which Spark's cache manager would then report on this frame too
+    lazy_df = minhash_lsh_pairs(
+        docs_with_dupes, "doc_id", "text", threshold=0.2, materialize=False
+    )
+    assert not lazy_df.storageLevel.useMemory  # genuinely lazy, uncached
+    lazy = {(r.id_a, r.id_b, r.jaccard) for r in lazy_df.collect()}
+    eager = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs_with_dupes, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert lazy == eager and eager
