@@ -324,7 +324,21 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_ORACLE_PLAIN"):
+        # driver simulation: a PLAIN session (none of get_spark's
+        # configs) pinned to a non-UTC timezone — catches session-TZ and
+        # default-config dependencies the round driver's harness would
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle_check_plain")
+            .master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
 
     failures = 0
     for name, fn in qs.items():
