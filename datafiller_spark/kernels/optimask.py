@@ -160,11 +160,17 @@ def optimask(
 
 def unique_bool_rows(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """np.unique(mat, axis=0, return_inverse=True) for boolean matrices,
-    via 64-bit packing when the width allows (the reference's own
-    single-word shortcut, _gram.py:199-206): uniquing packed integers is
-    ~10x faster than the void-view lexicographic row sort. Pattern ORDER
-    differs from the axis=0 form (integer vs lexicographic order) —
-    callers must not depend on it; per-pattern work is order-free.
+    via 64-bit packing (the reference's own single-word shortcut,
+    _gram.py:199-206, generalized to any width): uniquing packed
+    integers is ~10x faster than the void-view lexicographic row sort.
+    Widths past 64 pack into ceil(k/64) words and unique a structured
+    view — the sort then compares 8·w-byte keys instead of k-byte bool
+    rows (a 425-wide lag-matrix mask sorts 7 words, not 425 bytes; this
+    was 44% of the published blocks-benchmark wall). Pattern ORDER
+    differs from the axis=0 form (packed-integer vs lexicographic
+    order) — callers must not depend on it; per-pattern work is
+    order-free (pinned by the byte-exact reference-parity suite, which
+    crosses this path at lag-matrix widths).
     """
     m, k = mat.shape
     if k == 0 or m == 0:
@@ -175,4 +181,23 @@ def unique_bool_rows(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         uniq, inverse = np.unique(packed, return_inverse=True)
         patterns = ((uniq[:, None] >> np.arange(k, dtype=np.uint64)) & np.uint64(1)).astype(bool)
         return patterns, inverse
-    return np.unique(mat, axis=0, return_inverse=True)
+    w = (k + 63) // 64
+    padded = np.zeros((m, w * 64), dtype=bool)
+    padded[:, :k] = mat
+    # packbits (C bit loop) + a little-endian uint64 view is ~10x the
+    # astype(uint64)·weights GEMM form; lexsort over the w typed columns
+    # beats np.unique on a void view ~10x (typed sorts, not byte-wise
+    # comparisons)
+    words = np.packbits(padded, axis=1, bitorder="little").view(np.uint64)  # (m, w)
+    order = np.lexsort(words.T[::-1])
+    sw = words[order]
+    first = np.empty(m, dtype=bool)
+    first[0] = True
+    np.any(sw[1:] != sw[:-1], axis=1, out=first[1:])
+    group_sorted = np.cumsum(first) - 1
+    inverse = np.empty(m, dtype=np.intp)
+    inverse[order] = group_sorted
+    patterns = np.unpackbits(
+        sw[first].view(np.uint8), axis=1, bitorder="little"
+    ).astype(bool)[:, :k]
+    return patterns, inverse
