@@ -474,25 +474,42 @@ def dup_clusters(
 
 @F.pandas_udf(LongType())
 def _simhash64(tokens: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash over int token-id arrays."""
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, arr in enumerate(tokens):
-        if arr is None or len(arr) == 0:
-            continue
-        ids = np.asarray(arr, dtype=np.uint64)
-        # splitmix64-style avalanche for bit diffusion
-        h = ids * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(30)
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-        h ^= h >> np.uint64(27)
-        h *= np.uint64(0x94D049BB133111EB)
-        h ^= h >> np.uint64(31)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim.astype(np.int64))
+    """64-bit SimHash over int token-id arrays — ONE vectorized pass for
+    the whole Arrow batch: all token ids are avalanched flat, their hash
+    bits unpacked to a (total_tokens, 64) matrix, and per-document bit
+    votes come from ``np.add.reduceat`` over the document offsets. The
+    per-document loop form this replaces paid ~30 µs of small-array
+    overhead per doc. Values are identical: majority vote
+    ``Σ(2b−1) > 0  ⇔  2·ones > n_tokens``, same splitmix64 constants
+    the DuckDB oracle mirrors in exact mod-2^64 SQL."""
+    n = len(tokens)
+    out = np.zeros(n, dtype=np.int64)
+    arrs = tokens.to_numpy()
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n
+    )
+    nz = np.nonzero(lens)[0]
+    if not len(nz):
+        return pd.Series(out)
+    h = np.concatenate([np.asarray(arrs[i], dtype=np.uint64) for i in nz])
+    # splitmix64-style avalanche for bit diffusion
+    h = h * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    doc_lens = lens[nz]
+    starts = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=starts[1:])
+    # int64 ACCUMULATOR over the uint8 bit matrix: materializing the
+    # bits as int64 first would stream 8x the bytes (512 MB per 1M
+    # tokens) through this box's starved memory bus
+    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (docs, 64)
+    majority = (2 * ones) > doc_lens[:, None]
+    sims = np.packbits(majority, axis=1, bitorder="little").view(np.int64).ravel()
+    out[nz] = sims
     return pd.Series(out)
 
 
