@@ -426,3 +426,42 @@ def test_minhash_lazy_mode_matches_eager(spark, docs_with_dupes):
         for r in minhash_lsh_pairs(docs_with_dupes, "doc_id", "text", threshold=0.2).collect()
     }
     assert lazy == eager and eager
+
+
+def test_simhash_vectorized_matches_per_doc_reference():
+    """The batch-vectorized SimHash kernel must be value-identical to
+    the straightforward per-document formulation (same splitmix64
+    constants, same majority vote) — including empty/None docs and
+    single-token docs."""
+    import numpy as np
+    import pandas as pd
+
+    from datafiller_spark.operators.dedup import _simhash64
+
+    def per_doc(tokens):
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, arr in enumerate(tokens):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for b in np.flatnonzero(votes > 0):
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sim.astype(np.int64))
+        return out
+
+    rng = np.random.default_rng(11)
+    arrs = [rng.integers(0, 60000, size=n).astype(np.int64) for n in (1, 2, 3, 17, 250, 999)]
+    arrs += [None, np.array([], dtype=np.int64), np.array([0], dtype=np.int64)]
+    s = pd.Series(arrs, dtype=object)
+    got = _simhash64.func(s).to_numpy()
+    assert np.array_equal(got, per_doc(s))

@@ -67,3 +67,27 @@ def test_all_nan_matrix_returns_empty():
     m = np.full((4, 4), np.nan)
     rows, cols = _run(m)
     assert rows.size == 0 and cols.size == 0
+
+
+def test_unique_bool_rows_wide_matches_npunique_fuzz():
+    """The multi-word packed path (k > 64: packbits + lexsort) must
+    agree with np.unique(axis=0) on the pattern SET and reconstruct the
+    input through its inverse, across width boundaries (63/64/65/128)
+    and degenerate shapes."""
+    import numpy as np
+
+    from datafiller_spark.kernels.optimask import unique_bool_rows
+
+    rng = np.random.default_rng(5)
+    shapes = [(200, 63), (200, 64), (200, 65), (123, 128), (50, 425),
+              (1, 70), (2, 65), (7, 200), (100, 1)]
+    for m, k in shapes:
+        for density in (0.05, 0.5, 0.95):
+            mat = rng.random((m, k)) < density
+            patterns, inverse = unique_bool_rows(mat)
+            ref_patterns, _ = np.unique(mat, axis=0, return_inverse=True)
+            assert np.array_equal(patterns[inverse], mat), (m, k, density)
+            assert len(patterns) == len(ref_patterns), (m, k, density)
+            assert {p.tobytes() for p in patterns} == {
+                p.tobytes() for p in ref_patterns
+            }, (m, k, density)
