@@ -128,19 +128,37 @@ def ngram_jaccard_pairs(
     ).where(F.size("grams") > 0)
     sizes = shingled.select("id", F.size("grams").alias("n_grams"))
     posting = shingled.select("id", F.explode("grams").alias("gram"))
+    # group each gram's posting list and expand its pairs in ONE Arrow
+    # kernel (np.triu_indices over the sorted ids): the same pair
+    # multiset the posting⋈posting SQL self-join produced, minus one
+    # full shuffle of the join build side and its JVM row-at-a-time
+    # pair materialization. A doc's shingles are DISTINCT, so ids are
+    # unique within a group and id_a < id_b falls out of the sort.
+    # The posting cap becomes a plain size filter (the window-count
+    # form cost an extra shuffle).
+    members = posting.groupBy("gram").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    members = members.where(F.size("ids") >= 2)
     if max_posting_len is not None:
-        bucket_w = Window.partitionBy("gram")
-        posting = (
-            posting.withColumn("__pl", F.count("*").over(bucket_w))
-            .where(F.col("__pl") <= max_posting_len)
-            .drop("__pl")
-        )
+        members = members.where(F.size("ids") <= max_posting_len)
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    a = posting.alias("a")
-    b = posting.alias("b")
+    def _expand(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf["ids"]:
+                arr = np.asarray(ids)
+                i, j = np.triu_indices(len(arr), k=1)
+                out_a.append(arr[i])
+                out_b.append(arr[j])
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        members.select("ids")
+        .mapInPandas(_expand, schema=f"id_a {id_type}, id_b {id_type}")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
