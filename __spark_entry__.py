@@ -373,7 +373,8 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    # max_posting_len=None = the fully exact, oracle-checked config
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_posting_len=None)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -394,7 +395,7 @@ def q_dup_clusters(spark, sf_dir):
     from datafiller_spark.operators import dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_posting_len=None)
     return dup_clusters(pairs, "id_a", "id_b")
 
 
@@ -437,7 +438,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     # neighbors are barely more similar than random points
     return lsh_topk(
         emb, queries, "vec_id", "embedding", k=5,
-        n_planes=12, dim=64, n_tables=32, probe_radius=2,
+        dim=64,  # P=12/T=32/r=2 swept config is now the operator default
     )
 
 
@@ -458,7 +459,8 @@ def q_ivf_topk(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_clusters=32, nprobe=24, dim=64)
+    # C=32/nprobe=24 swept config is now the operator default
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
 
 
 def q_embedding_near_dupes(spark, sf_dir):

@@ -374,6 +374,72 @@ class MultivariateImputer:
         ranking = np.argsort(-feat_scores, kind="stable")
         return np.sort(candidates[ranking[:k]])
 
+    def select_features(
+        self,
+        x: np.ndarray,
+        cols_to_impute,
+        n_nearest_features: None | float | int,
+        normalize: bool = True,
+    ) -> dict[int, np.ndarray]:
+        """The SELECTION step of ``__call__`` alone: validation →
+        standardization → scoring → per-target top-k. Returns
+        ``{target_col: sorted feature index array}`` — exactly what
+        ``imputation_features_`` records for the same full call,
+        without any imputation work. CONSUMES ``x`` (standardizes it in
+        place, the ``_owns_input`` contract).
+
+        This exists for the wide-panel cluster path
+        (operators/wide.py): the driver runs selection once on the full
+        panel and ships each column-chunk task only the columns its
+        targets select, so per-executor input is bounded by
+        chunk × n_nearest instead of the whole panel. Bit-parity with
+        the full-panel run holds because every quantity here is
+        per-column or per-(target, feature)-pair: standardization and
+        score moments read only the two columns involved, and the
+        stable top-k tie-break is by column order, which an
+        order-preserving column subset preserves.
+        """
+        _ensure_blas_pinned()
+        x = np.asarray(x)
+        if x.ndim != 2:
+            raise EngineValueError(f"x must be a 2D array, got {x.ndim} dimensions.")
+        if not np.issubdtype(x.dtype, np.number):
+            raise EngineValueError(f"x must have a numeric dtype, got {x.dtype}.")
+        if not np.issubdtype(x.dtype, np.floating):
+            x = x.astype(np.float64)
+        mask_nan, counts, sums, has_inf = self._nan_stats(x)
+        if has_inf:
+            raise EngineValueError("x cannot contain infinity.")
+        m, n = x.shape
+        n_nearest = _resolve_n_nearest(n_nearest_features, n)
+        cols_idx = _as_index_array(cols_to_impute, n)
+        if cols_idx.size and (cols_idx.min() < 0 or cols_idx.max() >= n):
+            raise EngineValueError(f"cols_to_impute must be within [0, {n - 1}].")
+        if n_nearest is None:
+            return {
+                int(c): self._sampled_cols(n, int(c), None, None, 0) for c in cols_idx
+            }
+        norm_cols = np.arange(n, dtype=np.int64)
+        if normalize:
+            norm_means, norm_scales = self._standardization(x, counts, sums, norm_cols)
+            # same fused float64 in-place form as __call__'s _owns_input
+            # branch (value-identical to the one-step (x - m) / s there)
+            if x.dtype == np.float64:
+                np.subtract(x, norm_means, out=x)
+                np.divide(x, norm_scales, out=x)
+            else:
+                np.divide(x - norm_means, norm_scales, out=x)
+        else:
+            norm_means = None
+        score_means = np.where(counts == 0, 0.0, sums / np.maximum(counts, 1))
+        if norm_means is not None:
+            score_means[norm_cols] = 0.0
+        scores = score_features(x, cols_idx, column_means=score_means)
+        return {
+            int(c): self._sampled_cols(n, int(c), n_nearest, scores, i)
+            for i, c in enumerate(cols_idx)
+        }
+
     # -- per-column imputation ---------------------------------------------
 
     def _impute_col(

@@ -11,9 +11,23 @@ at least ``min_rows`` rows. Returns (rows, cols) safe to train on.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from ..exceptions import EngineValueError
+
+# unique_bool_rows packs bool rows with packbits(bitorder='little') and
+# reinterprets the bytes as native uint64 words; on a big-endian host
+# that view scrambles bit positions within each word SILENTLY (grouping
+# changes, no crash). Fail loudly instead — same guard as dedup.py's
+# SimHash byte view.
+if sys.byteorder != "little":  # pragma: no cover - no big-endian CI host
+    raise ImportError(
+        "datafiller_spark.kernels.optimask requires a little-endian host: "
+        "unique_bool_rows reinterprets packbits(bitorder='little') bytes "
+        "as native uint64 words."
+    )
 
 _MAX_PARETO_STEPS = 16
 

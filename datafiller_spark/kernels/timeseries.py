@@ -251,6 +251,129 @@ class TimeSeriesImputer:
         self.__init__(**current)
         return self
 
+    def _build_feature_matrix(
+        self, df: pd.DataFrame
+    ) -> tuple[np.ndarray, list, np.ndarray]:
+        """Numeric-path feature matrix: original columns, lag/lead
+        copies, calendar features; generated features with no observed
+        value dropped (originals always kept so the output layout
+        matches the input). Returns ``(matrix, feature_names,
+        orig_of_feature)`` where ``orig_of_feature[p]`` is the ORIGINAL
+        column position feature ``p`` derives from (−1 for
+        index-derived time features) — the mapping ``select_features``
+        uses to turn selected lag-matrix features back into panel
+        columns."""
+        original_cols = df.columns
+        n_original = len(original_cols)
+
+        values = df.to_numpy()
+        if not np.issubdtype(values.dtype, np.floating):
+            try:
+                values = values.astype(np.float64)
+            except (TypeError, ValueError):
+                # nullable extension dtypes (Float64/Int64) reach here as
+                # object arrays holding pd.NA, which plain astype rejects;
+                # pandas' own cast maps NA → NaN
+                try:
+                    values = df.astype("float64").to_numpy()
+                except (TypeError, ValueError) as exc:
+                    raise EngineValueError(
+                        "TimeSeriesImputer requires numeric columns."
+                    ) from exc
+
+        feature_names = list(original_cols)
+        orig_of = list(range(n_original))
+        for lag in self.lags:
+            feature_names.extend(f"{col}_lag_{lag}" for col in original_cols)
+            orig_of.extend(range(n_original))
+        if self.add_time_features:
+            time_df = make_time_features(df.index, reserved_names=feature_names)
+            feature_names.extend(time_df.columns)
+            orig_of.extend([-1] * time_df.shape[1])
+            time_values = time_df.to_numpy(dtype=values.dtype)
+        else:
+            time_values = np.empty((len(df), 0), dtype=values.dtype)
+
+        matrix = build_lag_matrix(values, np.asarray(self.lags, dtype=np.int64), time_values)
+
+        keep = ~all_nan_columns(matrix)
+        keep[:n_original] = True
+        orig_of = np.asarray(orig_of, dtype=np.int64)
+        if not keep.all():
+            matrix = np.ascontiguousarray(matrix[:, keep])
+            feature_names = [nm for nm, k in zip(feature_names, keep) if k]
+            orig_of = orig_of[keep]
+        return matrix, feature_names, orig_of
+
+    def select_features(
+        self,
+        df: pd.DataFrame,
+        cols_to_impute=None,
+        n_nearest_features: None | float | int = None,
+    ) -> tuple[dict, int | None]:
+        """Driver-side selection pass for the wide cluster path
+        (operators/wide.py): which ORIGINAL panel columns each target's
+        model reads, under this imputer's exact scoring and stable
+        top-k tie-break. Returns ``(needs, resolved_k)``:
+
+        - ``needs[target_name]`` = list of original column names whose
+          identity/lag features the target selects (index-derived time
+          features excluded — every task can rebuild those);
+        - ``resolved_k`` = ``n_nearest_features`` resolved to an int
+          against the FULL panel's feature width. Chunk tasks must be
+          given THIS value: a float ratio would re-resolve against the
+          (narrower) subset width and select fewer features.
+
+        All-numeric frames only (the wide path's contract).
+        """
+        if not isinstance(df, pd.DataFrame):
+            raise EngineTypeError("Input must be a pandas DataFrame.")
+        df = regularize_index(df)
+
+        from pandas.api.types import is_bool_dtype, is_numeric_dtype
+
+        numeric_cols = [
+            c for c in df.columns if is_numeric_dtype(df[c]) and not is_bool_dtype(df[c])
+        ]
+        if len(numeric_cols) < len(df.columns):
+            raise EngineValueError(
+                "select_features supports all-numeric frames only (the "
+                "mixed-dtype path one-hot encodes, which changes the "
+                "feature layout)."
+            )
+
+        if self.interpolate_gaps_less_than is not None:
+            # mirrors __call__: interpolation changes the NaN masks the
+            # scores are computed from
+            df = df.copy()
+            for col in df.columns:
+                df[col] = interpolate_small_gaps(df[col], self.interpolate_gaps_less_than)
+
+        matrix, _, orig_of = self._build_feature_matrix(df)
+
+        if cols_to_impute is None:
+            cols_idx = np.arange(len(df.columns))
+        else:
+            if isinstance(cols_to_impute, (int, str)):
+                cols_to_impute = [cols_to_impute]
+            cols_idx = np.array(
+                [
+                    c if isinstance(c, int) else df.columns.get_loc(c)
+                    for c in cols_to_impute
+                ]
+            )
+        from .multivariate import _resolve_n_nearest
+
+        resolved_k = _resolve_n_nearest(n_nearest_features, matrix.shape[1])
+        sel = self.multivariate_imputer.select_features(
+            matrix, cols_idx, n_nearest_features
+        )
+        needs = {}
+        for c in cols_idx:
+            origs = np.unique(orig_of[sel[int(c)]])
+            needs[df.columns[int(c)]] = [df.columns[int(o)] for o in origs if o >= 0]
+        return needs, resolved_k
+
     def __call__(
         self,
         df: pd.DataFrame,
@@ -293,41 +416,7 @@ class TimeSeriesImputer:
 
         original_cols = df.columns
         n_original = len(original_cols)
-
-        values = df.to_numpy()
-        if not np.issubdtype(values.dtype, np.floating):
-            try:
-                values = values.astype(np.float64)
-            except (TypeError, ValueError):
-                # nullable extension dtypes (Float64/Int64) reach here as
-                # object arrays holding pd.NA, which plain astype rejects;
-                # pandas' own cast maps NA → NaN
-                try:
-                    values = df.astype("float64").to_numpy()
-                except (TypeError, ValueError) as exc:
-                    raise EngineValueError(
-                        "TimeSeriesImputer requires numeric columns."
-                    ) from exc
-
-        feature_names = list(original_cols)
-        for lag in self.lags:
-            feature_names.extend(f"{col}_lag_{lag}" for col in original_cols)
-        if self.add_time_features:
-            time_df = make_time_features(df.index, reserved_names=feature_names)
-            feature_names.extend(time_df.columns)
-            time_values = time_df.to_numpy(dtype=values.dtype)
-        else:
-            time_values = np.empty((len(df), 0), dtype=values.dtype)
-
-        matrix = build_lag_matrix(values, np.asarray(self.lags, dtype=np.int64), time_values)
-
-        # Generated features with no observed value are dropped; the original
-        # columns always survive so the output layout matches the input.
-        keep = ~all_nan_columns(matrix)
-        keep[:n_original] = True
-        if not keep.all():
-            matrix = np.ascontiguousarray(matrix[:, keep])
-            feature_names = [nm for nm, k in zip(feature_names, keep) if k]
+        matrix, feature_names, _ = self._build_feature_matrix(df)
         feature_index = pd.Index(feature_names)
 
         if cols_to_impute is None:

@@ -25,6 +25,8 @@ Embedding near-dup lives in similarity.py (cosine threshold).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -34,6 +36,50 @@ from pyspark.sql.types import LongType
 from .banding import banded_pairs
 
 _MERSENNE = (1 << 31) - 1
+
+# _simhash64 views uint64 hashes as bytes (unpackbits) and packs the
+# majority bits back through a little-endian byte view; a big-endian
+# host would compute silently different signatures. Fail loudly at
+# import (executors re-import this module, so the guard runs there too).
+if sys.byteorder != "little":  # pragma: no cover - no big-endian CI host
+    raise ImportError(
+        "datafiller_spark.operators.dedup requires a little-endian host: "
+        "SimHash packs/unpacks signature bits through native byte views."
+    )
+
+# pair-expansion block: two int64 index arrays of this length ≈ 64 MB
+# peak — the memory unit for streamed posting-list pair expansion
+_PAIR_BLOCK = 1 << 22
+
+
+def _triu_blocks(L: int, block: int):
+    """Yield (i, j) index-array blocks covering the strict upper
+    triangle of an L×L grid, each block holding ≤ ``block`` pairs
+    (a single row wider than ``block`` is split by column range).
+    Equivalent to ``np.triu_indices(L, k=1)`` streamed in bounded
+    allocations."""
+    r0 = 0
+    while r0 < L - 1:
+        row_pairs = L - 1 - r0
+        if row_pairs > block:
+            # one row alone exceeds the block: walk its columns
+            for c0 in range(r0 + 1, L, block):
+                j = np.arange(c0, min(c0 + block, L), dtype=np.int64)
+                yield np.full(len(j), r0, dtype=np.int64), j
+            r0 += 1
+            continue
+        # greedily take rows [r0, r1) while the pair total fits
+        total, r1 = 0, r0
+        while r1 < L - 1 and total + (L - 1 - r1) <= block:
+            total += L - 1 - r1
+            r1 += 1
+        rows = np.arange(r0, r1, dtype=np.int64)
+        counts = L - 1 - rows
+        i = np.repeat(rows, counts)
+        starts = np.cumsum(counts) - counts
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, counts) + i + 1
+        yield i, j
+        r0 = r1
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -107,21 +153,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_posting_len: int | None = None,
+    max_posting_len: int | None = 10_000,
+    pair_block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
     Output: (id_a, id_b, inter, union_size, jaccard) with id_a < id_b.
 
     Quadratic in posting-list density — this is the VERIFIER; the scale
-    path is ``minhash_lsh_pairs``. If this form must run on a larger
-    corpus, ``max_posting_len`` caps the self-join: shingles shared by
-    more than that many documents are dropped before pairing (a
-    boilerplate shingle carries almost no Jaccard signal, but its
-    posting list alone costs O(len²) pairs). With a cap the counts are
-    a lower bound on the true intersection, so reported jaccard values
-    can only shrink — pairs never appear that the exact form would
-    reject. Default None = exact (the oracle-checked configuration).
+    path is ``minhash_lsh_pairs``. ``max_posting_len`` caps the pair
+    work: shingles shared by more than that many documents are dropped
+    before pairing (a boilerplate shingle carries almost no Jaccard
+    signal, but its posting list alone costs O(len²) pairs — at the
+    default cap of 10 000 that is ≤ 5·10⁷ pairs per shingle; with no
+    cap a shingle shared by 10⁵ docs is ~5·10⁹ pairs of pure work).
+    With a cap the counts are a lower bound on the true intersection,
+    so reported jaccard values can only shrink — pairs never appear
+    that the exact form would reject. Pass ``max_posting_len=None``
+    for the fully exact form (the oracle-checked configuration); peak
+    task memory stays bounded either way because pair expansion is
+    streamed in ``pair_block``-sized blocks (default ``_PAIR_BLOCK``
+    ≈ 64 MB of index arrays), only total CPU work is then unbounded.
     """
     shingled = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
@@ -143,17 +195,41 @@ def ngram_jaccard_pairs(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _expand(batches):
+        # Streamed pair expansion: pairs are emitted in ≤ pair_block
+        # blocks, so one hot posting list can never materialize its full
+        # O(L²) index set in a single allocation (a 10⁵-doc shingle is
+        # ~5·10⁹ pairs ≈ 80 GB if expanded at once). Small lists batch
+        # together; a list whose pair count exceeds the block is walked
+        # by row range (and a single row wider than the block by column
+        # range), so peak memory is ~2 · pair_block ids regardless of L.
+        buf_a, buf_b, buffered = [], [], 0
         for pdf in batches:
-            out_a, out_b = [], []
             for ids in pdf["ids"]:
                 arr = np.asarray(ids)
-                i, j = np.triu_indices(len(arr), k=1)
-                out_a.append(arr[i])
-                out_b.append(arr[j])
-            if out_a:
-                yield pd.DataFrame(
-                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-                )
+                L = len(arr)
+                n_pairs = L * (L - 1) // 2
+                if n_pairs <= pair_block:
+                    i, j = np.triu_indices(L, k=1)
+                    buf_a.append(arr[i])
+                    buf_b.append(arr[j])
+                    buffered += n_pairs
+                    if buffered >= pair_block:
+                        yield pd.DataFrame(
+                            {"id_a": np.concatenate(buf_a), "id_b": np.concatenate(buf_b)}
+                        )
+                        buf_a, buf_b, buffered = [], [], 0
+                    continue
+                if buffered:
+                    yield pd.DataFrame(
+                        {"id_a": np.concatenate(buf_a), "id_b": np.concatenate(buf_b)}
+                    )
+                    buf_a, buf_b, buffered = [], [], 0
+                for bi, bj in _triu_blocks(L, pair_block):
+                    yield pd.DataFrame({"id_a": arr[bi], "id_b": arr[bj]})
+        if buffered:
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(buf_a), "id_b": np.concatenate(buf_b)}
+            )
 
     inter = (
         members.select("ids")

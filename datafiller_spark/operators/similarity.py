@@ -239,13 +239,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 12,
     dim: int | None = None,
-    n_tables: int = 4,
-    probe_radius: int = 1,
+    n_tables: int = 32,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucketed candidates, exact cosine
     re-rank inside buckets.
+
+    Defaults are the swept high-recall config (P=12, T=32, r=2 —
+    recall@5 = 1.0 on the sf0.1 bench corpus; see BENCH.md's
+    recall/candidates curve from scripts/ann_recall_sweep.py). On a
+    uniform random corpus that config scans ~40-50 % of the corpus —
+    inherent to uniform data, not the operator; clustered (dedup-regime)
+    corpora prune to <1 %. Lower ``probe_radius``/``n_tables`` to trade
+    recall for candidate volume.
 
     Standard multi-table LSH: ``n_tables`` independent sets of
     ``n_planes`` hyperplanes; a corpus vector is a candidate if it shares
@@ -364,14 +372,21 @@ def embedding_near_dupes_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).select("id", "__v", F.posexplode(buckets(F.col("__v"))).alias("table", "bucket"))
-    members = (
-        banded.groupBy("table", "bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("id").alias("i"), F.col("__v").alias("p")))
-            ).alias("ids")
-        )
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    # Size-filter BEFORE the payload collect_list: a window count over
+    # (table, bucket) drops hot-bucket rows while they are still
+    # individual rows (WindowExec spills to disk), so no aggregation
+    # buffer ever materializes member_count × dim × 8 bytes for a
+    # bucket that the size cap would discard anyway. The window's
+    # exchange hash-partitions on exactly the groupBy keys, so the
+    # collect_list below reuses it — still ONE shuffle total.
+    wsize = Window.partitionBy("table", "bucket")
+    banded = banded.withColumn("__bsize", F.count(F.lit(1)).over(wsize)).where(
+        (F.col("__bsize") >= 2) & (F.col("__bsize") <= max_bucket_size)
+    )
+    members = banded.groupBy("table", "bucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id").alias("i"), F.col("__v").alias("p")))
+        ).alias("ids")
     )
 
     def _pairs_with_cosine(batches):
@@ -510,8 +525,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_clusters: int = 16,
-    nprobe: int = 4,
+    n_clusters: int = 32,
+    nprobe: int = 24,
     dim: int | None = None,
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
@@ -522,6 +537,11 @@ def ivf_topk(
     Candidate volume ≈ ``nprobe / n_clusters`` of the corpus. Pass
     pre-trained ``centroids`` to skip training (e.g. reuse across
     batches); otherwise a bounded seeded sample trains them.
+
+    Defaults are the swept config (C=32, nprobe=24 — recall@5 ≈ 0.955
+    on the sf0.1 bench corpus, curve in BENCH.md). 24/32 lists probed
+    is the honest price of high recall on a *uniform* corpus; clustered
+    corpora get the same recall at far lower nprobe.
     """
     if dim is None:
         raise ValueError("ivf_topk requires dim (embedding width).")

@@ -82,6 +82,40 @@ def test_ngram_jaccard_posting_cap_is_conservative(spark):
     assert (100, 101) in capped  # distinctive pair survives the cap
 
 
+def test_ngram_pair_expansion_streams_in_blocks(spark):
+    """A hot shingle's posting list expands in bounded pair blocks, not
+    one O(L²) allocation: a tiny pair_block forcing dozens of blocks
+    (including the single-row column-split path) must reproduce the
+    unchunked output exactly."""
+    boiler = "lorem ipsum dolor"  # 3-gram shared by every doc
+    rows = [(i, f"{boiler} tail {i} x{i % 7} y{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kwargs = dict(n=3, threshold=0.05, max_posting_len=None)
+    unchunked = {
+        (r.id_a, r.id_b): (r.inter, r.union_size, r.jaccard)
+        for r in ngram_jaccard_pairs(df, **kwargs).collect()
+    }
+    # 60-doc list = 1770 pairs; block of 40 → ~45 blocks, and rows near
+    # the top (59 pairs each) exercise multi-row packing while a block
+    # of 10 also forces the single-row column-range split
+    for block in (40, 10):
+        chunked = {
+            (r.id_a, r.id_b): (r.inter, r.union_size, r.jaccard)
+            for r in ngram_jaccard_pairs(df, pair_block=block, **kwargs).collect()
+        }
+        assert chunked == unchunked
+    assert len(unchunked) > 0
+
+
+def test_ngram_default_posting_cap_is_finite():
+    """Library default protects against boilerplate-shingle quadratic
+    blowup; the oracle path opts out explicitly with None."""
+    import inspect
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_posting_len"].default == 10_000
+
+
 def test_simhash_groups_identical_token_arrays(spark):
     rows = [
         ("a", [1, 2, 3, 4, 5, 6, 7, 8]),

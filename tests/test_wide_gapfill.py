@@ -103,6 +103,74 @@ def test_wide_gapfill_spill_with_missing_grid_rows(spark, tmp_path):
     np.testing.assert_array_equal(via_collect.to_numpy(), via_spill.to_numpy())
 
 
+def test_wide_gapfill_subset_equals_broadcast_bit_exact(spark):
+    """With n_nearest_features set, the column-subset shipping path
+    (each task receives only its targets + their selected feature
+    columns) must equal the full-panel broadcast path bit for bit —
+    scoring/standardization are per-column-pair and the stable top-k
+    tie-break survives an order-preserving subset."""
+    holed = _panel(n=240, k=14)
+    kwargs = dict(
+        lags=(1, 2, -1), min_samples_train=10, interpolate_gaps_less_than=3,
+        n_nearest_features=6, columns_per_task=4,
+    )
+    via_subset = wide_gapfill(spark, holed, subset_features=True, **kwargs)
+    via_broadcast = wide_gapfill(spark, holed, subset_features=False, **kwargs)
+    np.testing.assert_array_equal(via_subset.to_numpy(), via_broadcast.to_numpy())
+
+
+def test_wide_gapfill_subset_float_ratio_resolves_on_full_width(spark):
+    """A float n_nearest_features must resolve against the FULL panel's
+    feature width before chunking: re-resolving per subset would select
+    fewer features and silently change the fills."""
+    holed = _panel(n=200, k=12)
+    kwargs = dict(lags=(1, -1), min_samples_train=10, columns_per_task=3)
+    local = TimeSeriesImputer(lags=(1, -1), min_samples_train=10)(
+        holed, n_nearest_features=0.25
+    )
+    via_subset = wide_gapfill(
+        spark, holed, n_nearest_features=0.25, subset_features=True, **kwargs
+    )
+    np.testing.assert_array_equal(local.to_numpy(), via_subset.to_numpy())
+
+
+def test_wide_gapfill_subset_bounds_task_input(spark):
+    """On a genuinely wide panel the subset path ships each task a
+    small fraction of the columns: the driver-side selection pass bounds
+    per-chunk input by chunk × (n_nearest + 1) original columns."""
+    rng = np.random.default_rng(11)
+    n, k = 48, 2_000
+    idx = pd.date_range("2024-03-01", periods=n, freq="5min")
+    panel = pd.DataFrame(
+        rng.normal(size=(n, k)), index=idx, columns=[f"s{i}" for i in range(k)]
+    )
+    panel.iloc[7:11, 0:10] = np.nan
+    needs, resolved_k = TimeSeriesImputer(lags=(1, -1), min_samples_train=8).select_features(
+        panel, None, 4
+    )
+    assert resolved_k == 4
+    cols = list(panel.columns)
+    cpt = 50
+    worst = 0
+    for lo in range(0, k, cpt):
+        chunk = cols[lo : lo + cpt]
+        needed = set(chunk)
+        for t in chunk:
+            needed.update(needs[t])
+        worst = max(worst, len(needed))
+    # ≤ targets + targets × n_nearest originals, and a small fraction of k
+    assert worst <= cpt * (4 + 1)
+    assert worst < k // 4
+    out = wide_gapfill(
+        spark, panel, lags=(1, -1), min_samples_train=8,
+        n_nearest_features=4, columns_per_task=cpt,
+    )
+    local = TimeSeriesImputer(lags=(1, -1), min_samples_train=8)(
+        panel, n_nearest_features=4
+    )
+    np.testing.assert_array_equal(local.to_numpy(), out.to_numpy())
+
+
 def test_wide_gapfill_extension_dtypes_collect_path(spark):
     """Nullable pandas extension dtypes must not crash the dtype gate on
     the (non-spill) collect path."""
