@@ -40,7 +40,7 @@ from datafiller_spark.operators import (
     rollup,
     simhash_duplicates,
 )
-from datafiller_spark.operators.multimodal import extract_features
+from datafiller_spark.operators.multimodal import extract_features, synthesize_assets
 from datafiller_spark.sources import load_table, tokenized_sequences
 
 # ---------------------------------------------------------------------------
@@ -626,8 +626,9 @@ def q_join_topk(spark, sf_dir):
 
 def q_multimodal_meta(spark, sf_dir):
     """Binary-asset plumbing: documents as fake 'image' payloads; the
-    SQL-checkable part is the metadata (byte sizes); feature extraction
-    itself is covered by tests (decode is stubbed — no media libs here)."""
+    SQL-checkable part is the metadata (byte sizes). Real decode (PNG/
+    BMP/WAV, kernels/media.py) is exercised by q_multimodal_decode and
+    the media test suite; these text payloads simply decode_ok=false."""
     docs = load_table(spark, sf_dir, "documents")
     assets = docs.select(
         F.col("doc_id").cast("string").alias("asset_id"),
@@ -636,6 +637,20 @@ def q_multimodal_meta(spark, sf_dir):
     )
     feats = extract_features(assets)
     return feats.select("asset_id", "kind", "n_bytes")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode end-to-end: synthesize deterministic PNG/BMP/WAV
+    payloads from doc_id (kernels/media.py encoders, in-task), decode them
+    back with the from-scratch decoders, and emit the typed metadata. The
+    width/height/channels/sample_rate are pure functions of doc_id, so the
+    DuckDB oracle recomputes them exactly — a hash-exact check that the
+    byte-level codecs parse their own wire formats correctly."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_assets(docs.select("doc_id")))
+    return feats.select(
+        "asset_id", "kind", "decode_ok", "width", "height", "channels", "sample_rate"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -683,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "join_topk": q_join_topk,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1318,6 +1334,19 @@ SELECT nation, custkey, total_spend, n_orders, rank FROM ranked WHERE rank <= 3
     sql["multimodal_meta"] = """
 SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+FROM documents
+"""
+    sql["multimodal_decode"] = """
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       TRUE AS decode_ok,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INTEGER)
+            ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+       END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 100 AS INTEGER) END AS sample_rate
 FROM documents
 """
     # model_gapfill_1h, gapfill_metrics, simhash, ann_lsh_topk, ivf_topk:

@@ -1,0 +1,263 @@
+"""From-scratch media codecs — stdlib + NumPy only.
+
+The container ships no media libraries (Pillow/ffmpeg/soundfile), but
+three production formats need none:
+
+- **BMP** (Windows bitmap): uncompressed ``BI_RGB`` 24/32-bit with a
+  ``BITMAPINFOHEADER`` — plain struct parsing, row padding, bottom-up
+  row order. No compression spec at all.
+- **WAV** (RIFF PCM): chunked container, integer PCM 8/16/32-bit and
+  IEEE-float 32-bit payloads.
+- **PNG**: 8-bit grayscale / RGB / RGBA (color types 0/2/6),
+  non-interlaced — zlib inflate (stdlib) + the five scanline filters
+  (None/Sub/Up/Average/Paeth) from the PNG spec.
+
+These are the real decoders behind ``operators/multimodal.py``'s
+``extract_features`` (the engine-new multimodal requirement, SURVEY
+§2.4; the reference has no media path). Encoders exist for the same
+formats so tests and the entry query can synthesize deterministic
+fixtures without any external data.
+
+Scale note: decoding runs inside Arrow-batched ``mapInPandas`` tasks —
+per-asset CPU, zero driver involvement. The per-row Python in the PNG
+filter loop is bounded by image height; Sub/Up filters are vectorized
+per scanline, and BMP/WAV decode is pure ``np.frombuffer`` reshaping.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..exceptions import EngineValueError
+
+
+# ---------------------------------------------------------------- BMP
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3|4) uint8 (RGB[A]).
+
+    Supports BITMAPINFOHEADER (and its larger extensions — V4/V5 share
+    the first 40 bytes), bottom-up and top-down row order.
+    """
+    if len(data) < 54 or data[:2] != b"BM":
+        raise EngineValueError("not a BMP payload (missing 'BM' magic).")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise EngineValueError(f"unsupported BMP header size {header_size} (need >= 40).")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise EngineValueError(f"unsupported BMP compression {compression} (BI_RGB only).")
+    if bpp not in (24, 32):
+        raise EngineValueError(f"unsupported BMP bit depth {bpp} (24/32 only).")
+    if width <= 0 or height == 0:
+        raise EngineValueError(f"invalid BMP dimensions {width}x{height}.")
+    top_down = height < 0
+    height = abs(height)
+    channels = bpp // 8
+    stride = ((width * channels + 3) // 4) * 4
+    need = pixel_offset + stride * height
+    if len(data) < need:
+        raise EngineValueError(f"truncated BMP: need {need} bytes, have {len(data)}.")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=pixel_offset)
+    rows = rows.reshape(height, stride)[:, : width * channels].reshape(height, width, channels)
+    if not top_down:
+        rows = rows[::-1]
+    # BMP stores BGR(A); emit RGB(A)
+    if channels == 3:
+        return np.ascontiguousarray(rows[:, :, ::-1])
+    return np.ascontiguousarray(rows[:, :, [2, 1, 0, 3]])
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit bottom-up BI_RGB BMP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise EngineValueError("encode_bmp expects an (H, W, 3) uint8 array.")
+    h, w, _ = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+# ---------------------------------------------------------------- WAV
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → ((n_samples, channels) array, sample_rate).
+
+    Integer PCM comes back in its native width (uint8 / int16 / int32),
+    format-3 payloads as float32 — callers normalize as they need.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise EngineValueError("not a WAV payload (missing RIFF/WAVE magic).")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise EngineValueError("truncated WAV fmt chunk.")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise EngineValueError("WAV payload missing fmt/data chunk.")
+    audio_format, channels, rate, _, _, bits = fmt
+    if channels < 1:
+        raise EngineValueError("WAV payload declares zero channels.")
+    if audio_format == 1:
+        dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}.get(bits)
+        if dtype is None:
+            raise EngineValueError(f"unsupported PCM bit depth {bits}.")
+    elif audio_format == 3:
+        if bits != 32:
+            raise EngineValueError(f"unsupported float WAV bit depth {bits}.")
+        dtype = np.dtype("<f4")
+    else:
+        raise EngineValueError(f"unsupported WAV audio format {audio_format}.")
+    width = np.dtype(dtype).itemsize
+    n = len(raw) // (width * channels)
+    samples = np.frombuffer(raw, dtype=dtype, count=n * channels).reshape(n, channels)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) int16 (or float in [-1, 1], scaled) → PCM WAV bytes."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if np.issubdtype(samples.dtype, np.floating):
+        samples = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    else:
+        samples = samples.astype("<i2")
+    n, channels = samples.shape
+    raw = samples.tobytes()
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(raw))
+        + raw
+    )
+
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray/RGB/RGBA) → (H, W[, C]) uint8."""
+    if not data.startswith(_PNG_SIG):
+        raise EngineValueError("not a PNG payload (missing signature).")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(data):
+        size, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if ihdr is None or not idat:
+        raise EngineValueError("PNG payload missing IHDR/IDAT chunk.")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise EngineValueError(
+            f"unsupported PNG format (depth={depth}, color type={color}): "
+            "8-bit gray/RGB/RGBA only."
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise EngineValueError("unsupported PNG compression/filter/interlace method.")
+    c = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise EngineValueError("PNG pixel data does not match declared dimensions.")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = filters[y]
+        line = raw[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:  # None
+            out[y] = line
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-c] — a running
+            # per-channel sum; uint8 accumulate wraps mod 256 exactly
+            out[y] = np.add.accumulate(line.reshape(-1, c), axis=0, dtype=np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            out[y] = line + prev
+        elif ft == 3:  # Average — sequential in x (depends on recon[x-c])
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - c]) if x >= c else 0
+                row[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise EngineValueError(f"invalid PNG filter type {ft}.")
+    img = out.reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 (gray/RGB/RGBA) → non-interlaced PNG bytes
+    (filter 0 scanlines — simple, decodes everywhere)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, c = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color, c = (2, 3) if arr.shape[2] == 3 else (6, 4)
+    else:
+        raise EngineValueError("encode_png expects (H, W), (H, W, 3) or (H, W, 4) uint8.")
+    h, w = arr.shape[:2]
+    scan = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )

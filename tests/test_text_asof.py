@@ -12,7 +12,7 @@ from datafiller_spark.operators import (
     quality_score,
     tokenize_counts,
 )
-from datafiller_spark.operators.multimodal import FEATURE_DIM, extract_features, sample_frames
+from datafiller_spark.operators.multimodal import extract_features, sample_frames
 
 
 @pytest.fixture(scope="module")
@@ -83,17 +83,18 @@ def test_asof_join_picks_latest_at_or_before(spark):
 
 
 def test_extract_features_shapes(spark):
+    """Metadata (n_bytes) is always emitted; undecodable payloads get
+    decode_ok=false with NULL features instead of failing the stage.
+    Real-decode coverage lives in tests/test_media.py."""
     df = spark.createDataFrame(
         [("a1", "image", bytearray(b"imagebytes")), ("a2", "audio", bytearray(b"audiobytes" * 50))],
         ["asset_id", "kind", "payload"],
     )
     out = {r.asset_id: r for r in extract_features(df).collect()}
     assert out["a1"].n_bytes == 10
-    assert len(out["a1"].features) == FEATURE_DIM
+    assert out["a1"].decode_ok is False and out["a1"].features is None
     assert out["a2"].n_bytes == 500
-    # deterministic: same payload → same features
-    again = {r.asset_id: r for r in extract_features(df).collect()}
-    assert out["a1"].features == again["a1"].features
+    assert out["a2"].decode_ok is False and out["a2"].features is None
 
 
 def test_sample_frames_only_video(spark):
