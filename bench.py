@@ -85,6 +85,84 @@ HEADLINE = [
 INPUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "/tmp/spark_graft_bench_input")
 
 
+# ------------------------------------------------------- hardware control
+#
+# This VM's walls swing ±20-30% run-to-run (thermal throttle, noisy
+# host neighbors — observed first-touch bandwidth from 1.7 GB/s down to
+# 30 MB/s mid-day). The control below is measured INSIDE every campaign
+# and recorded in the same JSON, so a reader can normalize
+# round-over-round deltas without trusting prose: if wall regressed but
+# the control regressed equally, it's the box, not the code.
+
+
+def _busy_worker(n_iter: int, q) -> None:
+    import numpy as np
+
+    a = np.zeros(4 * 1024 * 1024)  # 32 MB: write + reduce, the bench mix
+    t0 = time.time()
+    s = 0.0
+    for i in range(n_iter):
+        a[:] = float(i)
+        s += float(a.sum())
+    q.put(time.time() - t0 + (s * 0.0))
+
+
+def _busyloop_efficiency(n_low: int, n_high: int, n_iter: int = 400) -> dict:
+    """Scaling efficiency of PURE independent Python processes at the
+    bench's own parallelism pair — the box's ceiling for ANY engine.
+    Each level runs `level` processes doing identical fixed work;
+    efficiency = wall(low) / wall(high) (per-proc work is constant, so
+    perfect scaling means equal walls)."""
+    import multiprocessing as mp
+
+    walls = {}
+    for level in (n_low, n_high):
+        q: mp.Queue = mp.Queue()
+        procs = [mp.Process(target=_busy_worker, args=(n_iter, q)) for _ in range(level)]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        per_proc = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        walls[level] = max(max(per_proc), time.time() - t0)
+    return {
+        f"busyloop_wall_n{n_low}": round(walls[n_low], 3),
+        f"busyloop_wall_n{n_high}": round(walls[n_high], 3),
+        "busyloop_efficiency": round(walls[n_low] / walls[n_high], 3),
+    }
+
+
+def _hardware_control() -> dict:
+    """First-touch bandwidth + single-thread GEMM + busy-loop scaling,
+    measured in-process right now. ~15 s total."""
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")  # before numpy import
+    import numpy as np
+
+    # first-touch write bandwidth, 200 MB (page-fault + stream write)
+    n = 200 * 1024 * 1024 // 8
+    t0 = time.time()
+    a = np.empty(n)
+    a[:] = 1.0
+    firsttouch = (n * 8) / (time.time() - t0) / 1e9
+    del a
+    # single-thread GEMM throughput (compute-bound control), best of 3
+    m = 768
+    x = np.ones((m, m))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        x @ x
+        best = min(best, time.time() - t0)
+    gemm = 2.0 * m**3 / best / 1e9
+    out = {
+        "firsttouch_gb_s": round(firsttouch, 3),
+        "gemm_gflops_1t": round(gemm, 2),
+    }
+    out.update(_busyloop_efficiency(N_LOW, N_HIGH))
+    return out
+
+
 def _ensure_input(spark) -> str:
     """Materialize the deterministic synthetic table ONCE (untimed): the
     measured job is the *ingest* — read parquet → rollup → gap-fill →
@@ -216,6 +294,12 @@ def main() -> None:
         raise RuntimeError(f"worker {kind}@{cpus} produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
     n_low, n_high = N_LOW, N_HIGH
+    # In-artifact hardware control, measured before and after the
+    # pipeline campaign in this same process: lets a reader normalize
+    # round-over-round wall deltas (control moved too → box drift, not
+    # code). ~15 s each; runs before the first cooldown so the campaign
+    # thermal protocol is untouched.
+    control_pre = _hardware_control()
     # The box throttles under sustained load (±20% run-to-run), so the
     # two levels are measured ALTERNATING with equal cooldowns before
     # every run — both levels get the same thermal opportunity — and the
@@ -236,6 +320,7 @@ def main() -> None:
                 3,
             )
         )
+    control_post = _hardware_control()
     low = min(runs[n_low], key=lambda d: d["wall"])
     high = min(runs[n_high], key=lambda d: d["wall"])
     if SKIP_QUERIES:
@@ -288,6 +373,15 @@ def main() -> None:
         "scaling_efficiency_bestpair": round(
             (high["points_per_sec"] / low["points_per_sec"]) / (n_high / n_low), 3
         ),
+        # in-artifact hardware state: normalize wall deltas against these
+        # (firsttouch_gb_s ~1.7 healthy / ~0.03 observed under a noisy
+        # host neighbor; busyloop_efficiency is the box's scaling ceiling
+        # for ANY engine at this parallelism pair)
+        "hardware_control_pre": control_pre,
+        "hardware_control_post": control_post,
+        # untouched-code thermal tracers: their warm walls (in "queries")
+        # move only with the box, so they date-stamp the thermal state
+        "tracer_queries": ["simhash_near", "dedup_exact"],
     }
     print(json.dumps(result))
 
