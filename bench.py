@@ -79,6 +79,7 @@ HEADLINE = [
     "quality",
     "lang_id",
     "fingerprint",
+    "multimodal_decode",
 ]
 
 
