@@ -136,32 +136,44 @@ def _busyloop_efficiency(n_low: int, n_high: int, n_iter: int = 400) -> dict:
 
 def _hardware_control() -> dict:
     """First-touch bandwidth + single-thread GEMM + busy-loop scaling,
-    measured in-process right now. ~15 s total."""
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")  # before numpy import
-    import numpy as np
+    measured in-process right now. ~15 s total.
 
-    # first-touch write bandwidth, 200 MB (page-fault + stream write)
-    n = 200 * 1024 * 1024 // 8
-    t0 = time.time()
-    a = np.empty(n)
-    a[:] = 1.0
-    firsttouch = (n * 8) / (time.time() - t0) / 1e9
-    del a
-    # single-thread GEMM throughput (compute-bound control), best of 3
-    m = 768
-    x = np.ones((m, m))
-    best = float("inf")
-    for _ in range(3):
+    The BLAS pin must not leak into the timed worker subprocesses (they
+    would then run NumPy single-threaded, changing the very conditions
+    round-over-round comparison assumes), so it is restored on exit;
+    the driver's own numpy fixes its thread count at first import, so
+    pre and post controls still measure under one setting."""
+    pinned = "OPENBLAS_NUM_THREADS" not in os.environ
+    if pinned:
+        os.environ["OPENBLAS_NUM_THREADS"] = "1"  # before numpy import
+    try:
+        import numpy as np
+
+        # first-touch write bandwidth, 200 MB (page-fault + stream write)
+        n = 200 * 1024 * 1024 // 8
         t0 = time.time()
-        x @ x
-        best = min(best, time.time() - t0)
-    gemm = 2.0 * m**3 / best / 1e9
-    out = {
-        "firsttouch_gb_s": round(firsttouch, 3),
-        "gemm_gflops_1t": round(gemm, 2),
-    }
-    out.update(_busyloop_efficiency(N_LOW, N_HIGH))
-    return out
+        a = np.empty(n)
+        a[:] = 1.0
+        firsttouch = (n * 8) / (time.time() - t0) / 1e9
+        del a
+        # single-thread GEMM throughput (compute-bound control), best of 3
+        m = 768
+        x = np.ones((m, m))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            x @ x
+            best = min(best, time.time() - t0)
+        gemm = 2.0 * m**3 / best / 1e9
+        out = {
+            "firsttouch_gb_s": round(firsttouch, 3),
+            "gemm_gflops_1t": round(gemm, 2),
+        }
+        out.update(_busyloop_efficiency(N_LOW, N_HIGH))
+        return out
+    finally:
+        if pinned:
+            del os.environ["OPENBLAS_NUM_THREADS"]
 
 
 def _ensure_input(spark) -> str:

@@ -19,9 +19,16 @@ formats so tests and the entry query can synthesize deterministic
 fixtures without any external data.
 
 Scale note: decoding runs inside Arrow-batched ``mapInPandas`` tasks —
-per-asset CPU, zero driver involvement. The per-row Python in the PNG
-filter loop is bounded by image height; Sub/Up filters are vectorized
-per scanline, and BMP/WAV decode is pure ``np.frombuffer`` reshaping.
+per-asset CPU, zero driver involvement. BMP/WAV decode is pure
+``np.frombuffer`` reshaping. PNG None/Sub/Up filters are vectorized
+per scanline (per-row Python bounded by image height); Average/Paeth
+carry a sequential data dependence along x and fall back to a per-byte
+Python loop — fine for fixture-scale assets, but a real corpus of
+libpng-adaptive-filtered photos would want a compiled path there.
+Inflate is bounded: the declared pixel count is capped
+(``_MAX_PIXELS``) and ``decompressobj`` never allocates more than the
+declared scanline bytes + 1, so a zlib bomb errors instead of OOMing
+the executor.
 """
 
 from __future__ import annotations
@@ -107,7 +114,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            if len(body) < 16:  # actual bytes present, not the declared size
                 raise EngineValueError("truncated WAV fmt chunk.")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
@@ -135,13 +142,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """(n, channels) int16 (or float in [-1, 1], scaled) → PCM WAV bytes."""
+    """(n, channels) int16 (or float in [-1, 1], scaled) → PCM WAV bytes.
+
+    Integer inputs wider than int16 must already fit the int16 range —
+    anything else raises instead of silently truncating to the low 16
+    bits (a decoded 32-bit PCM file must be rescaled by the caller).
+    """
     samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
     if np.issubdtype(samples.dtype, np.floating):
         samples = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
     else:
+        if samples.size and (samples.min() < -32768 or samples.max() > 32767):
+            raise EngineValueError(
+                "encode_wav: integer samples exceed the int16 range; "
+                "rescale (or normalize to float) before encoding."
+            )
         samples = samples.astype("<i2")
     n, channels = samples.shape
     raw = samples.tobytes()
@@ -164,6 +181,9 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+# Hard cap on declared pixel count: bounds every allocation the decoder
+# makes against a payload whose header lies (64M pixels covers 8K RGBA).
+_MAX_PIXELS = 64 * 1024 * 1024
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -175,6 +195,8 @@ def decode_png(data: bytes) -> np.ndarray:
         size, ctype = struct.unpack_from(">I4s", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise EngineValueError("truncated PNG IHDR chunk.")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)
@@ -191,11 +213,22 @@ def decode_png(data: bytes) -> np.ndarray:
         )
     if comp != 0 or filt != 0 or interlace != 0:
         raise EngineValueError("unsupported PNG compression/filter/interlace method.")
+    if w == 0 or h == 0:
+        raise EngineValueError(f"invalid PNG dimensions {w}x{h}.")
+    if w * h > _MAX_PIXELS:
+        raise EngineValueError(f"PNG declares {w}x{h} pixels (cap {_MAX_PIXELS}).")
     c = _PNG_CHANNELS[color]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = w * c
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: never allocate more than the declared scanline
+    # bytes + 1, so a zlib bomb raises here instead of OOMing the task
+    try:
+        inflated = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:
+        raise EngineValueError(f"corrupt PNG pixel stream: {exc}") from None
+    if len(inflated) != expected:
         raise EngineValueError("PNG pixel data does not match declared dimensions.")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 
 from ..exceptions import EngineValueError
 from ..kernels.media import (
+    _PNG_SIG,
     decode_bmp,
     decode_png,
     decode_wav,
@@ -57,8 +58,6 @@ ASSET_SCHEMA = StructType(
         StructField("payload", BinaryType()),
     ]
 )
-
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_asset(payload: bytes, kind: str):
@@ -130,8 +129,8 @@ def _audio_features(samples: np.ndarray, rate: int) -> tuple[np.ndarray, int, in
             ch,
             rate,
             duration,
-            float(x.mean()),
-            float(x.std()),
+            float(x.mean()) if n else 0.0,
+            float(x.std()) if n else 0.0,
             float(x.min()) if n else 0.0,
             float(x.max()) if n else 0.0,
             float(np.sqrt(np.mean(x * x))) if n else 0.0,
@@ -172,7 +171,7 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in iterator:
             rows = []
             for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
-                payload = bytes(payload)
+                payload = b"" if payload is None else bytes(payload)
                 row = {
                     "asset_id": aid,
                     "kind": kind,
@@ -284,7 +283,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8)
         for pdf in iterator:
             rows = []
             for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
-                if kind != "video":
+                if kind != "video" or payload is None:
                     continue
                 payload = bytes(payload)
                 offsets = list(range(0, len(payload), every_n_bytes))[:max_frames]

@@ -281,3 +281,74 @@ def test_synthesize_assets_matches_oracle_formulas(spark):
             assert r.channels == (2 if i % 3 == 0 else 1)
             assert r.sample_rate == 8000 + (i % 5) * 100
             assert r.width is None and r.height is None
+
+
+# --------------------------------------------------- hardening (r5 review)
+
+def test_png_zlib_bomb_bounded():
+    # an IDAT inflating far beyond the declared dims must raise without
+    # materializing the inflated stream (decompress is capped at the
+    # declared scanline bytes + 1)
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 KB compressed
+    png = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
+    with pytest.raises(EngineValueError):
+        decode_png(png)
+
+
+def test_png_declared_dims_capped():
+    # header lies about pixel count: rejected before any allocation
+    huge = (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2**16, 2**16, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00")) + _png_chunk(b"IEND", b""))
+    with pytest.raises(EngineValueError):
+        decode_png(huge)
+    zero = (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 3, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"")) + _png_chunk(b"IEND", b""))
+    with pytest.raises(EngineValueError):
+        decode_png(zero)
+
+
+def test_truncated_chunk_bodies_raise_engine_error():
+    # short IHDR body: EngineValueError, not struct.error
+    with pytest.raises(EngineValueError):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 5))
+    # corrupt IDAT: EngineValueError, not zlib.error
+    bad_idat = (_PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+                + _png_chunk(b"IDAT", b"not zlib") + _png_chunk(b"IEND", b""))
+    with pytest.raises(EngineValueError):
+        decode_png(bad_idat)
+    # WAV fmt chunk declaring 16 bytes but truncated: EngineValueError,
+    # not struct.error
+    wav = (b"RIFF" + struct.pack("<I", 20) + b"WAVEfmt "
+           + struct.pack("<I", 16) + b"\x01\x00")
+    with pytest.raises(EngineValueError):
+        decode_wav(wav)
+
+
+def test_encode_wav_rejects_out_of_range_ints():
+    with pytest.raises(EngineValueError):
+        encode_wav(np.array([[70000]], dtype=np.int32), 8000)
+    # in-range wide ints still encode exactly
+    out, rate = decode_wav(encode_wav(np.array([[1000], [-1000]], dtype=np.int32), 8000))
+    assert rate == 8000 and out.flatten().tolist() == [1000, -1000]
+
+
+def test_extract_features_null_payload_and_empty_wav(spark):
+    from datafiller_spark.operators.multimodal import ASSET_SCHEMA, sample_frames
+
+    empty_wav = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    rows = [("nul", "image", None), ("ewav", "audio", bytearray(empty_wav)),
+            ("nulvid", "video", None)]
+    df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    out = {r.asset_id: r for r in extract_features(df).collect()}
+    # NULL payload: row survives with decode_ok false (never fails the stage)
+    assert out["nul"].decode_ok is False and out["nul"].n_bytes == 0
+    # zero-sample WAV: decode_ok true with FINITE features (no NaN mean/std)
+    assert out["ewav"].decode_ok and out["ewav"].duration == 0.0
+    assert all(np.isfinite(out["ewav"].features))
+    # NULL video payload: sample_frames emits no rows instead of raising
+    assert sample_frames(df).filter("asset_id = 'nulvid'").count() == 0
