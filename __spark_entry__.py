@@ -373,8 +373,14 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    # max_posting_len=None = the fully exact, oracle-checked config
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_posting_len=None)
+    # The CHECKED config is the bounded one a 100 TB pipeline would run:
+    # finite posting cap, mirrored in the DuckDB oracle (the same
+    # QUALIFY count<=cap filter on the posting CTE). The exact
+    # max_posting_len=None form is cross-checked from pytest on a
+    # corpus where the cap actually binds (test_dedup_similarity.py).
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_posting_len=_POSTING_CAP
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -395,7 +401,9 @@ def q_dup_clusters(spark, sf_dir):
     from datafiller_spark.operators import dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_posting_len=None)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_posting_len=_POSTING_CAP
+    )
     return dup_clusters(pairs, "id_a", "id_b")
 
 
@@ -722,6 +730,11 @@ _SQL_NTOK = (
     "ELSE len(str_split_regex(trim(text), '\\s+')) END"
 )
 
+# finite posting-list cap used by the CHECKED ngram_jaccard/dup_clusters
+# config (Spark arg and DuckDB oracle mirror it identically); the exact
+# None form is pytest-cross-checked where the cap binds
+_POSTING_CAP = 10_000
+
 _SQL_SHINGLES = """
 WITH words AS (
   SELECT doc_id, str_split_regex(trim(lower(text)), '\\s+') AS w
@@ -733,7 +746,13 @@ shingled AS (
   FROM words WHERE len(w) >= 3
 ),
 sizes AS (SELECT doc_id, len(grams) AS n_grams FROM shingled),
-posting AS (SELECT doc_id, unnest(grams) AS gram FROM shingled),
+posting_all AS (SELECT doc_id, unnest(grams) AS gram FROM shingled),
+posting AS (
+  -- mirror of the Spark side's max_posting_len: shingles shared by more
+  -- than the cap contribute no pairs (boilerplate-shingle bound)
+  SELECT doc_id, gram FROM posting_all
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {posting_cap}
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -991,7 +1010,7 @@ groups AS (
 SELECT f.fp, g.group_size, f.doc_id, g.canonical_id
 FROM fps f JOIN groups g USING (fp)
 """
-    sql["ngram_jaccard"] = _SQL_SHINGLES
+    sql["ngram_jaccard"] = _SQL_SHINGLES.format(posting_cap=_POSTING_CAP)
 
     # Full cross-engine mirror of the MinHash-LSH pipeline: identical
     # md5-based gram hashes, the same seeded affine family (constants
@@ -1061,7 +1080,7 @@ WHERE round(inter * 1.0 / union_size, 6) >= 0.2
 """
     sql["dup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({_SQL_SHINGLES})
+  SELECT id_a, id_b FROM ({_SQL_SHINGLES.format(posting_cap=_POSTING_CAP)})
 ),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs

@@ -116,6 +116,8 @@ def _busyloop_efficiency(n_low: int, n_high: int, n_iter: int = 400) -> dict:
     perfect scaling means equal walls)."""
     import multiprocessing as mp
 
+    import queue as queue_mod
+
     walls = {}
     for level in (n_low, n_high):
         q: mp.Queue = mp.Queue()
@@ -123,7 +125,17 @@ def _busyloop_efficiency(n_low: int, n_high: int, n_iter: int = 400) -> dict:
         t0 = time.time()
         for p in procs:
             p.start()
-        per_proc = [q.get() for _ in procs]
+        try:
+            # a dead worker (OOM, import failure) must fail the control,
+            # not hang the whole campaign on a q.get() that never returns
+            per_proc = [q.get(timeout=300) for _ in procs]
+        except queue_mod.Empty:
+            for p in procs:
+                p.terminate()
+            raise RuntimeError(
+                f"busyloop control: a worker at level {level} produced no "
+                "result within 300 s (died or wedged)"
+            ) from None
         for p in procs:
             p.join()
         walls[level] = max(max(per_proc), time.time() - t0)
@@ -356,16 +368,25 @@ def main() -> None:
     efficiency = _median(samples) if samples else speedup / (n_high / n_low)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    result = {
+    warm_queries = {
+        k: v
+        for k, v in queries.items()
+        if not k.endswith(("_rows", "_cold")) and k != "ann_recall_at_5"
+    }
+    # ---- artifact layout (round 6, BENCH_r05 `parsed: null` postmortem):
+    # the driver records the LAST ~2000 chars of stdout and parses the
+    # final line as the round's metrics. Round 5's single fat line grew
+    # past that window and the headline was lost. Now: the FULL record
+    # (per-query cold walls, run-by-run pipeline walls, full controls) is
+    # written to bench_detail_last.json and printed on an EARLIER
+    # "BENCH_DETAIL" line; the final line is a compact headline kept
+    # under 1800 chars by construction (length-guarded below).
+    detail = {
         "metric": "rollup_pipeline_wall",
         "value": round(high["wall"], 3),
         "unit": "sec",
         "parallelism_mode": BENCH_MODE,
-        "queries": {
-            k: v
-            for k, v in queries.items()
-            if not k.endswith(("_rows", "_cold")) and k != "ann_recall_at_5"
-        },
+        "queries": warm_queries,
         "queries_cold_first_run": {
             k[: -len("_cold")]: v for k, v in queries.items() if k.endswith("_cold")
         },
@@ -380,23 +401,74 @@ def main() -> None:
         f"points_per_sec_n{n_high}": round(high["points_per_sec"], 1),
         f"wall_n{n_low}": round(low["wall"], 3),
         f"wall_n{n_high}": round(high["wall"], 3),
+        "pipeline_walls_all_runs": {
+            f"n{lvl}": [round(r["wall"], 3) for r in rs] for lvl, rs in runs.items()
+        },
         "scaling_speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "scaling_efficiency_samples": samples,
         "scaling_efficiency_bestpair": round(
             (high["points_per_sec"] / low["points_per_sec"]) / (n_high / n_low), 3
         ),
+        "hardware_control_pre": control_pre,
+        "hardware_control_post": control_post,
+        "tracer_queries": ["simhash_near", "dedup_exact"],
+    }
+    try:
+        with open(os.path.join(REPO, "bench_detail_last.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the BENCH_DETAIL stdout line still has it
+    print("BENCH_DETAIL " + json.dumps(detail))
+
+    def _hw_compact(ctl: dict) -> dict:
+        return {
+            k: ctl[k]
+            for k in ("firsttouch_gb_s", "gemm_gflops_1t", "busyloop_efficiency")
+            if k in ctl
+        }
+
+    result = {
+        "metric": "rollup_pipeline_wall",
+        "value": round(high["wall"], 3),
+        "unit": "sec",
+        "parallelism_mode": BENCH_MODE,
+        "queries": warm_queries,
+        "ann_recall_at_5": queries.get("ann_recall_at_5"),
+        "sf": detail["sf"],
+        "rolled_up_points": high["points"],
+        f"tokens_per_sec_n{n_high}": round(high["tokens_per_sec"], 1),
+        f"points_per_sec_n{n_low}": round(low["points_per_sec"], 1),
+        f"points_per_sec_n{n_high}": round(high["points_per_sec"], 1),
+        f"wall_n{n_low}": round(low["wall"], 3),
+        f"wall_n{n_high}": round(high["wall"], 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "scaling_efficiency_samples": samples,
         # in-artifact hardware state: normalize wall deltas against these
         # (firsttouch_gb_s ~1.7 healthy / ~0.03 observed under a noisy
         # host neighbor; busyloop_efficiency is the box's scaling ceiling
         # for ANY engine at this parallelism pair)
-        "hardware_control_pre": control_pre,
-        "hardware_control_post": control_post,
+        "hardware_control_pre": _hw_compact(control_pre),
+        "hardware_control_post": _hw_compact(control_post),
         # untouched-code thermal tracers: their warm walls (in "queries")
         # move only with the box, so they date-stamp the thermal state
         "tracer_queries": ["simhash_near", "dedup_exact"],
+        "detail": "bench_detail_last.json + BENCH_DETAIL stdout line",
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1800:
+        # keep the headline parseable no matter how the query set grows:
+        # keep only the slowest queries (tracers always included)
+        keep = dict(
+            sorted(warm_queries.items(), key=lambda kv: -kv[1])[:10]
+        )
+        for t in result["tracer_queries"]:
+            if t in warm_queries:
+                keep[t] = warm_queries[t]
+        result["queries"] = keep
+        result["queries_truncated_to_slowest"] = True
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

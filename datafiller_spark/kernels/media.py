@@ -118,6 +118,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise EngineValueError("truncated WAV fmt chunk.")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if len(body) < size:  # declared more bytes than are present
+                raise EngineValueError(
+                    f"truncated WAV data chunk: declares {size} bytes, "
+                    f"has {len(body)}."
+                )
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:

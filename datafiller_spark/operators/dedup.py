@@ -153,7 +153,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_posting_len: int | None = 10_000,
+    max_posting_len: int | None = None,
     pair_block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
@@ -164,16 +164,19 @@ def ngram_jaccard_pairs(
     path is ``minhash_lsh_pairs``. ``max_posting_len`` caps the pair
     work: shingles shared by more than that many documents are dropped
     before pairing (a boilerplate shingle carries almost no Jaccard
-    signal, but its posting list alone costs O(len²) pairs — at the
-    default cap of 10 000 that is ≤ 5·10⁷ pairs per shingle; with no
-    cap a shingle shared by 10⁵ docs is ~5·10⁹ pairs of pure work).
-    With a cap the counts are a lower bound on the true intersection,
-    so reported jaccard values can only shrink — pairs never appear
-    that the exact form would reject. Pass ``max_posting_len=None``
-    for the fully exact form (the oracle-checked configuration); peak
-    task memory stays bounded either way because pair expansion is
-    streamed in ``pair_block``-sized blocks (default ``_PAIR_BLOCK``
-    ≈ 64 MB of index arrays), only total CPU work is then unbounded.
+    signal, but its posting list alone costs O(len²) pairs — at a cap
+    of 10 000 that is ≤ 5·10⁷ pairs per shingle; with no cap a shingle
+    shared by 10⁵ docs is ~5·10⁹ pairs of pure work). With a cap the
+    counts are a lower bound on the true intersection, so reported
+    jaccard values can only shrink — pairs never appear that the exact
+    form would reject. The DEFAULT is ``None`` (fully exact Jaccard —
+    library callers get textbook semantics unless they opt into the
+    approximation); production pipelines over open-web corpora should
+    pass a finite cap (the entry queries use 10 000, mirrored in their
+    DuckDB oracle). Peak task memory stays bounded either way because
+    pair expansion is streamed in ``pair_block``-sized blocks (default
+    ``_PAIR_BLOCK`` ≈ 64 MB of index arrays); with ``None`` only total
+    CPU work is unbounded.
     """
     shingled = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")

@@ -147,10 +147,15 @@ def extract_features(df: DataFrame) -> DataFrame:
     feature vector per asset, via the real decoders.
 
     Output: (asset_id, kind, n_bytes, decode_ok, width, height,
-    channels, sample_rate, duration, features). Image rows fill
+    channels, sample_rate, duration, features, error). Image rows fill
     width/height/channels; audio rows fill channels/sample_rate/
     duration; undecodable payloads (and video) get decode_ok = false
-    with NULL features — a poisoned asset never fails the stage.
+    with NULL features and the decoder's message in ``error`` — a
+    poisoned asset never fails the stage, but only the errors the
+    decoders intentionally raise (``EngineValueError`` for corrupt
+    payloads, ``NotImplementedError`` for unsupported kinds) are
+    swallowed; a programming bug in the feature code still surfaces,
+    so systematic failures stay distinguishable from corrupt data.
     """
     out_schema = StructType(
         [
@@ -164,45 +169,64 @@ def extract_features(df: DataFrame) -> DataFrame:
             StructField("sample_rate", IntegerType()),
             StructField("duration", FloatType()),
             StructField("features", ArrayType(FloatType())),
+            StructField("error", StringType()),
         ]
     )
 
     def batches(iterator):
         for pdf in iterator:
-            rows = []
-            for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+            # columnar accumulation: typed lists per output column (one
+            # pd.DataFrame built from arrays at the end) instead of a
+            # per-asset dict + list-of-dicts DataFrame — the decode loop
+            # is inherent to variable-length binary, the row assembly
+            # isn't
+            m = len(pdf)
+            n_bytes = np.zeros(m, dtype=np.int64)
+            ok = np.zeros(m, dtype=bool)
+            width = [None] * m
+            height = [None] * m
+            channels = [None] * m
+            s_rate = [None] * m
+            duration = [None] * m
+            features = [None] * m
+            error = [None] * m
+            for i, (kind, payload) in enumerate(zip(pdf["kind"], pdf["payload"])):
                 payload = b"" if payload is None else bytes(payload)
-                row = {
-                    "asset_id": aid,
-                    "kind": kind,
-                    "n_bytes": len(payload),
-                    "decode_ok": False,
-                    "width": None,
-                    "height": None,
-                    "channels": None,
-                    "sample_rate": None,
-                    "duration": None,
-                    "features": None,
-                }
+                n_bytes[i] = len(payload)
                 try:
                     if kind == "image":
                         feats, w, h, c = _image_features(decode_asset(payload, kind))
-                        row.update(
-                            decode_ok=True, width=w, height=h, channels=c,
-                            features=feats.tolist(),
-                        )
+                        ok[i] = True
+                        width[i], height[i], channels[i] = w, h, c
+                        features[i] = feats.tolist()
                     elif kind == "audio":
                         samples, rate = decode_asset(payload, kind)
                         feats, ch, rate, dur = _audio_features(samples, rate)
-                        row.update(
-                            decode_ok=True, channels=ch, sample_rate=rate,
-                            duration=dur, features=feats.tolist(),
-                        )
-                    # video and unknown kinds: decode_ok stays false
-                except Exception:
-                    pass  # poisoned payload → decode_ok false, NULL features
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                        ok[i] = True
+                        channels[i], s_rate[i], duration[i] = ch, rate, dur
+                        features[i] = feats.tolist()
+                    else:
+                        # video / unknown: decode_asset states why
+                        decode_asset(payload, kind)
+                except (EngineValueError, NotImplementedError) as exc:
+                    # only the errors the decoders intentionally raise;
+                    # anything else is a bug and must fail the task
+                    error[i] = f"{type(exc).__name__}: {exc}"
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": n_bytes,
+                    "decode_ok": ok,
+                    "width": width,
+                    "height": height,
+                    "channels": channels,
+                    "sample_rate": s_rate,
+                    "duration": duration,
+                    "features": features,
+                    "error": error,
+                }
+            )
 
     return df.select("asset_id", "kind", "payload").mapInPandas(batches, schema=out_schema)
 

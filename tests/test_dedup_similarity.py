@@ -107,13 +107,14 @@ def test_ngram_pair_expansion_streams_in_blocks(spark):
     assert len(unchunked) > 0
 
 
-def test_ngram_default_posting_cap_is_finite():
-    """Library default protects against boilerplate-shingle quadratic
-    blowup; the oracle path opts out explicitly with None."""
+def test_ngram_default_posting_cap_is_exact():
+    """Library default is EXACT Jaccard (no silent approximation for
+    existing callers — round-5 advice); production/entry queries opt
+    into the finite cap explicitly, mirrored in their DuckDB oracle."""
     import inspect
 
     sig = inspect.signature(ngram_jaccard_pairs)
-    assert sig.parameters["max_posting_len"].default == 10_000
+    assert sig.parameters["max_posting_len"].default is None
 
 
 def test_simhash_groups_identical_token_arrays(spark):
