@@ -213,6 +213,141 @@ def test_png_errors():
         decode_png(bad)
 
 
+# ------------------------------------- fast Average/Paeth defilter (r6)
+
+
+def _defilter_naive(line, prev, out_prev_free, c, paeth):
+    """The pre-round-6 per-byte reference loop — byte-parity anchor for
+    both the compiled C row kernel and the pure-Python fallback."""
+    stride = len(line)
+    row = np.zeros(stride, dtype=np.uint8)
+    for x in range(stride):
+        a = int(row[x - c]) if x >= c else 0
+        if paeth:
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            row[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+    return row
+
+
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_png_defilter_paths_byte_identical(c):
+    """C kernel, Python fallback, and the naive reference agree byte-
+    for-byte on random rows for both recursive filters."""
+    from datafiller_spark.kernels.media import (
+        _defilter_avg_py,
+        _defilter_lib,
+        _defilter_paeth_py,
+        _U8P,
+    )
+
+    rng = np.random.default_rng(123 + c)
+    stride = 37 * c
+    lib = _defilter_lib()
+    for _ in range(5):
+        line = rng.integers(0, 256, stride).astype(np.uint8)
+        prev = rng.integers(0, 256, stride).astype(np.uint8)
+        for paeth in (False, True):
+            ref = _defilter_naive(line, prev, None, c, paeth)
+            py = (_defilter_paeth_py if paeth else _defilter_avg_py)(line, prev, c)
+            assert np.array_equal(ref, py), f"python fallback paeth={paeth} c={c}"
+            if lib is not None:
+                out = np.zeros(stride, dtype=np.uint8)
+                fn = lib.defilter_paeth if paeth else lib.defilter_avg
+                fn(
+                    line.ctypes.data_as(_U8P),
+                    prev.ctypes.data_as(_U8P),
+                    out.ctypes.data_as(_U8P),
+                    stride,
+                    c,
+                )
+                assert np.array_equal(ref, out), f"C kernel paeth={paeth} c={c}"
+
+
+def test_png_adaptive_encode_roundtrip_uses_recursive_filters():
+    """Adaptive (MSAD) filtering on photographic-ish content emits
+    Average/Paeth scanlines — the realistic decode path — and round-
+    trips exactly; the filtered stream also compresses smaller."""
+    rng = np.random.default_rng(9)
+    h, w = 48, 40
+    grad = np.add.outer(np.arange(h) * 5, np.arange(w) * 3) // 2
+    img = ((grad % 256 + rng.integers(-6, 7, (h, w))) % 256).astype(np.uint8)
+    rgb = np.stack([img, (img * 2) % 256, 255 - img], axis=2).astype(np.uint8)
+
+    data = encode_png(rgb, filters="adaptive")
+    assert np.array_equal(decode_png(data), rgb)
+    # inspect the emitted filter bytes
+    pos, idat = len(_PNG_SIG), []
+    while pos + 8 <= len(data):
+        size, ctype = struct.unpack_from(">I4s", data, pos)
+        if ctype == b"IDAT":
+            idat.append(data[pos + 8 : pos + 8 + size])
+        pos += 12 + size
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    used = {raw[y * (stride + 1)] for y in range(h)}
+    assert used & {3, 4}, f"adaptive never chose Average/Paeth: {used}"
+    assert len(data) < len(encode_png(rgb)), "adaptive should beat filter-0 here"
+
+
+def test_png_forced_filters_matches_independent_builder():
+    """encode_png(filters=[ids]) must produce the same reconstruction
+    as the test-side independent filtered-PNG builder for every id."""
+    img = _det_image(5, 6, 3, seed=4)
+    forced = [0, 1, 2, 3, 4]
+    assert np.array_equal(decode_png(encode_png(img, filters=forced)), img)
+    with pytest.raises(EngineValueError):
+        encode_png(img, filters="mystery")
+    with pytest.raises(EngineValueError):
+        encode_png(img, filters=[0, 1])  # wrong length
+    with pytest.raises(EngineValueError):
+        encode_png(img, filters=[0, 1, 2, 3, 9])  # bad id
+
+
+def test_png_defilter_speed_512_rgb():
+    """The round-5 verdict's scale-killer: adaptive-filtered decode must
+    be >=10x the naive per-byte loop on a 512x512 RGB all-Paeth image
+    (C kernel path; skipped where no compiler exists)."""
+    import time
+
+    from datafiller_spark.kernels.media import _defilter_lib
+
+    if _defilter_lib() is None:
+        pytest.skip("no C compiler on this host; Python fallback only")
+    rng = np.random.default_rng(2)
+    big = rng.integers(0, 256, (512, 512, 3)).astype(np.uint8)
+    data = encode_png(big, filters=[4] * 512)
+    decode_png(data)  # warm (compile already cached by fixture above)
+    t0 = time.perf_counter()
+    out = decode_png(data)
+    fast = time.perf_counter() - t0
+    assert np.array_equal(out, big)
+    # naive reference on a 64-row slice, extrapolated — keeps the test
+    # under a second while still measuring real per-byte cost
+    line = rng.integers(0, 256, 512 * 3).astype(np.uint8)
+    prev = rng.integers(0, 256, 512 * 3).astype(np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(64):
+        _defilter_naive(line, prev, None, 3, paeth=True)
+    naive = (time.perf_counter() - t0) * (512 / 64)
+    assert naive / fast >= 10, f"only {naive / fast:.1f}x over naive ({fast*1e3:.1f} ms)"
+
+
+def test_wav_truncated_data_chunk_raises():
+    """data chunk declaring more bytes than present must raise (round-5
+    advice: consistent with BMP/PNG truncation behavior), not silently
+    decode fewer samples."""
+    good = encode_wav(np.arange(-8, 8, dtype=np.int16), 8000)
+    truncated = good[:-6]  # cut mid-data; declared size now exceeds body
+    with pytest.raises(EngineValueError, match="truncated WAV data"):
+        decode_wav(truncated)
+
+
 # --------------------------------------------------- decode_asset sniffing
 
 def test_decode_asset_sniffs_formats():
@@ -352,3 +487,25 @@ def test_extract_features_null_payload_and_empty_wav(spark):
     assert all(np.isfinite(out["ewav"].features))
     # NULL video payload: sample_frames emits no rows instead of raising
     assert sample_frames(df).filter("asset_id = 'nulvid'").count() == 0
+
+
+def test_extract_features_error_column_distinguishes_causes(spark):
+    """round-5 advice: a corrupt payload and an unsupported kind must be
+    distinguishable in the output — the error column carries the
+    decoder's message; successful decodes leave it NULL."""
+    from datafiller_spark.operators.multimodal import ASSET_SCHEMA
+
+    ok_png = encode_png(_det_image(3, 4, 3))
+    rows = [
+        ("good", "image", bytearray(ok_png)),
+        ("corrupt", "image", bytearray(b"BMgarbage")),
+        ("vid", "video", bytearray(b"RIFF....AVI ")),
+        ("weird", "hologram", bytearray(b"\x00\x01")),
+    ]
+    df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    out = {r.asset_id: r for r in extract_features(df).collect()}
+    assert out["good"].decode_ok and out["good"].error is None
+    assert not out["corrupt"].decode_ok
+    assert out["corrupt"].error.startswith("EngineValueError:")
+    assert out["vid"].error.startswith("NotImplementedError:")
+    assert "hologram" in out["weird"].error
