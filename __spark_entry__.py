@@ -40,7 +40,11 @@ from datafiller_spark.operators import (
     rollup,
     simhash_duplicates,
 )
-from datafiller_spark.operators.multimodal import extract_features, synthesize_assets
+from datafiller_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthesize_assets,
+)
 from datafiller_spark.sources import load_table, tokenized_sequences
 
 # ---------------------------------------------------------------------------
@@ -661,6 +665,26 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video decode end-to-end: synthesize deterministic MJPEG-AVI
+    payloads (every doc_id % 10 == 6; frames are baseline JPEGs from
+    kernels/jpeg.py), demux + JPEG-decode each frame in-task via
+    sample_frames, and emit one row per frame with the DECODED frame
+    dimensions (features[0]/[1] = width/height of the decoded pixels).
+    The DuckDB oracle recomputes frame count and dimensions from the
+    doc_id formulas — a hash-exact check that the from-scratch AVI
+    demuxer and JPEG entropy decoder parse real wire bytes correctly."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs.select("doc_id"))
+    frames = sample_frames(assets)
+    return frames.select(
+        "asset_id",
+        "frame_no",
+        F.element_at("features", 1).cast("int").alias("frame_w"),
+        F.element_at("features", 2).cast("int").alias("frame_h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -707,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk": q_join_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1357,16 +1382,26 @@ FROM documents
 """
     sql["multimodal_decode"] = """
 SELECT CAST(doc_id AS VARCHAR) AS asset_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN doc_id % 10 = 6 THEN 'video'
+            WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
        TRUE AS decode_ok,
        CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
        CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
-       CASE WHEN doc_id % 2 = 0
+       CASE WHEN doc_id % 10 = 6 THEN CAST(3 AS INTEGER)
+            WHEN doc_id % 2 = 0
             THEN CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INTEGER)
             ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
        END AS channels,
        CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 100 AS INTEGER) END AS sample_rate
 FROM documents
+"""
+    sql["video_frames"] = """
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CAST(unnest(range(2 + doc_id % 3)) AS INTEGER) AS frame_no,
+       CAST(4 + doc_id % 13 AS INTEGER) AS frame_w,
+       CAST(3 + doc_id % 7 AS INTEGER) AS frame_h
+FROM documents
+WHERE doc_id % 10 = 6
 """
     # model_gapfill_1h, gapfill_metrics, simhash, ann_lsh_topk, ivf_topk:
     # intentionally no oracle (model-based / engine-specific hashes /

@@ -80,6 +80,7 @@ HEADLINE = [
     "lang_id",
     "fingerprint",
     "multimodal_decode",
+    "video_frames",
 ]
 
 

@@ -5,21 +5,24 @@ payload binary). Decoding runs inside Arrow-batched ``mapInPandas``
 tasks — per-asset CPU on the executors, nothing driver-side, so the
 operator scales with the cluster like any other scan.
 
-Decode support (from-scratch codecs, ``kernels/media.py`` — the
-container ships no media libraries):
+Decode support (from-scratch codecs, ``kernels/media.py`` /
+``kernels/jpeg.py`` / ``kernels/video.py`` — the container ships no
+media libraries):
 
-- image: PNG (8-bit gray/RGB/RGBA) and BMP (24/32-bit BI_RGB), sniffed
-  by magic bytes;
+- image: PNG (8-bit gray/RGB/RGBA), BMP (24/32-bit BI_RGB), and
+  baseline JPEG (Huffman sequential, 4:4:4/4:2:2/4:2:0), sniffed by
+  magic bytes;
 - audio: RIFF/WAVE PCM (8/16/32-bit int, 32-bit float);
-- video: genuinely unsupported — real video needs a codec library;
-  ``decode_asset`` raises ``NotImplementedError`` for it, and
-  ``sample_frames`` honestly emits byte-window statistics (offsets and
-  batching are the real plumbing a frame decoder would drop into).
+- video: MJPEG-in-AVI (the one format decodable with no codec
+  library) — real frame decode via the from-scratch JPEG decoder;
+  other containers (MP4/H.264 etc.) still raise
+  ``NotImplementedError`` honestly, and ``sample_frames`` emits
+  byte-window statistics for them instead of fake pixels.
 
 A corrupt or unrecognized payload must not kill a 100 TB stage:
-``extract_features`` marks the row ``decode_ok = false`` with NULL
-features instead of raising; only ``decode_asset`` (the library
-surface) raises.
+``extract_features`` marks the row ``decode_ok = false`` with the
+decoder's message in ``error`` instead of raising; only
+``decode_asset`` (the library surface) raises.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from ..exceptions import EngineValueError
+from ..kernels.jpeg import decode_jpeg, encode_jpeg
 from ..kernels.media import (
     _PNG_SIG,
     decode_bmp,
@@ -48,6 +52,7 @@ from ..kernels.media import (
     encode_png,
     encode_wav,
 )
+from ..kernels.video import decode_video, demux_avi, is_avi, mux_avi
 
 FEATURE_DIM = 16
 
@@ -63,22 +68,29 @@ ASSET_SCHEMA = StructType(
 def decode_asset(payload: bytes, kind: str):
     """Decode one asset payload.
 
-    - ``kind='image'`` → (H, W[, C]) uint8 array (PNG or BMP, sniffed);
+    - ``kind='image'`` → (H, W[, C]) uint8 array (PNG, BMP or baseline
+      JPEG, sniffed by magic bytes);
     - ``kind='audio'`` → ((n_samples, channels) array, sample_rate);
-    - ``kind='video'`` → NotImplementedError (no video codec here).
+    - ``kind='video'`` → (list of (H, W[, 3]) uint8 frames, fps) for
+      MJPEG-in-AVI; other containers raise NotImplementedError (no
+      codec library in this environment).
     """
     if kind == "image":
         if payload.startswith(_PNG_SIG):
             return decode_png(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
-        raise EngineValueError("image payload is neither PNG nor BMP.")
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
+        raise EngineValueError("image payload is not PNG, BMP or JPEG.")
     if kind == "audio":
         return decode_wav(payload)
     if kind == "video":
+        if is_avi(payload):
+            return decode_video(payload)
         raise NotImplementedError(
-            "video decode requires a codec library (none in this environment); "
-            "sample_frames provides the offset/batching plumbing."
+            "only MJPEG-in-AVI video decodes without a codec library; "
+            "sample_frames emits byte-window stats for other containers."
         )
     raise NotImplementedError(f"no decoder for kind={kind!r}")
 
@@ -205,8 +217,19 @@ def extract_features(df: DataFrame) -> DataFrame:
                         ok[i] = True
                         channels[i], s_rate[i], duration[i] = ch, rate, dur
                         features[i] = feats.tolist()
+                    elif kind == "video" and is_avi(payload):
+                        # metadata from the container + ONE decoded frame
+                        # (first) — never all frames in the scan stage
+                        jpegs, fps, _offs = demux_avi(payload)
+                        if not jpegs:
+                            raise EngineValueError("AVI payload contains no video frames.")
+                        feats, w, h, c = _image_features(decode_jpeg(jpegs[0]))
+                        ok[i] = True
+                        width[i], height[i], channels[i] = w, h, c
+                        duration[i] = len(jpegs) / fps if fps else 0.0
+                        features[i] = feats.tolist()
                     else:
-                        # video / unknown: decode_asset states why
+                        # non-AVI video / unknown: decode_asset states why
                         decode_asset(payload, kind)
                 except (EngineValueError, NotImplementedError) as exc:
                     # only the errors the decoders intentionally raise;
@@ -240,8 +263,11 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     The metadata formulas are pure functions of the id, mirrored in the
     driver query's SQL oracle (``multimodal_decode``):
 
-    - ``id % 2 == 0`` → image: ``id % 4 == 0`` PNG grayscale else BMP
-      RGB; ``width = 4 + id % 13``, ``height = 3 + id % 7``;
+    - ``id % 10 == 6`` → video: MJPEG-in-AVI, ``width = 4 + id % 13``,
+      ``height = 3 + id % 7``, ``n_frames = 2 + id % 3``, fps 5
+      (duration = n_frames / 5); frames are real baseline JPEGs;
+    - other even ``id`` → image: ``id % 4 == 0`` PNG grayscale else
+      BMP RGB; ``width = 4 + id % 13``, ``height = 3 + id % 7``;
     - ``id`` odd → WAV PCM-16: ``channels = 2 if id % 3 == 0 else 1``,
       ``sample_rate = 8000 + (id % 5) * 100``.
     """
@@ -251,7 +277,23 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for raw_id in pdf[id_col]:
                 i = int(raw_id)
-                if i % 2 == 0:
+                if i % 10 == 6:
+                    w, h = 4 + i % 13, 3 + i % 7
+                    n_frames = 2 + i % 3
+                    frames = []
+                    for t in range(n_frames):
+                        base = (np.arange(h * w, dtype=np.int64) * (i + 1) + t * 17) % 256
+                        img = np.stack([(base + k * 31) % 256 for k in range(3)], axis=1)
+                        frames.append(
+                            encode_jpeg(
+                                img.reshape(h, w, 3).astype(np.uint8),
+                                quality=92,
+                                subsampling="420" if i % 20 == 6 else "444",
+                            )
+                        )
+                    payload = mux_avi(frames, 5, w, h)
+                    kind = "video"
+                elif i % 2 == 0:
                     w, h = 4 + i % 13, 3 + i % 7
                     base = (np.arange(h * w, dtype=np.int64) * (i + 1)) % 256
                     if i % 4 == 0:
@@ -274,13 +316,28 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, schema=ASSET_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
-    """One row per sampled offset of a video payload, with byte-window
-    statistics as the features. The offsets/batching are the real
-    plumbing a frame decoder drops into; actual frame decode needs a
-    video codec (unsupported here), so the features are HONEST
-    byte-level stats (window mean/std/min/max + 4-bin byte histogram),
-    deterministic and library-free."""
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    every_n_frames: int = 1,
+) -> DataFrame:
+    """One row per sampled frame of a video payload.
+
+    MJPEG-in-AVI payloads get REAL decoded frames: ``frame_no`` is the
+    frame's index in the stream (every ``every_n_frames``-th, up to
+    ``max_frames``), ``offset`` its byte offset inside the payload, and
+    ``features`` the same 16-float image feature vector
+    ``extract_features`` computes (w/h/c, aspect, gray mean/std,
+    min/max, 8-bin histogram). Only the sampled frames are
+    JPEG-decoded — container demux reads chunk headers, so skipping is
+    O(bytes scanned), not O(frames decoded).
+
+    Other containers (no codec library for H.264 etc.) fall back to
+    HONEST byte-window statistics (window mean/std/min/max + 4-bin byte
+    histogram) at ``every_n_bytes`` offsets — deterministic, clearly
+    not pixels. A corrupt AVI/frame is skipped, never a stage failure.
+    """
     out_schema = StructType(
         [
             StructField("asset_id", StringType()),
@@ -310,6 +367,26 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8)
                 if kind != "video" or payload is None:
                     continue
                 payload = bytes(payload)
+                if is_avi(payload):
+                    try:
+                        jpegs, _fps, offs = demux_avi(payload)
+                    except EngineValueError:
+                        continue  # corrupt container: no rows, no failure
+                    picked = list(range(0, len(jpegs), max(every_n_frames, 1)))
+                    for i in picked[:max_frames]:
+                        try:
+                            feats, _w, _h, _c = _image_features(decode_jpeg(jpegs[i]))
+                        except EngineValueError:
+                            continue  # one corrupt frame: skip it
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_no": i,
+                                "offset": offs[i],
+                                "features": feats.tolist(),
+                            }
+                        )
+                    continue
                 offsets = list(range(0, len(payload), every_n_bytes))[:max_frames]
                 for i, off in enumerate(offsets):
                     rows.append(

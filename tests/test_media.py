@@ -405,8 +405,14 @@ def test_synthesize_assets_matches_oracle_formulas(spark):
     assert set(out) == set(ids)
     for i in ids:
         r = out[i]
-        assert r.decode_ok, f"id {i} failed decode"
-        if i % 2 == 0:
+        assert r.decode_ok, f"id {i} failed decode: {r.error}"
+        if i % 10 == 6:
+            assert r.kind == "video"
+            assert (r.width, r.height) == (4 + i % 13, 3 + i % 7)
+            assert r.channels == 3
+            assert r.sample_rate is None
+            assert abs(r.duration - (2 + i % 3) / 5.0) < 1e-6
+        elif i % 2 == 0:
             assert r.kind == "image"
             assert (r.width, r.height) == (4 + i % 13, 3 + i % 7)
             assert r.channels == (1 if i % 4 == 0 else 3)
@@ -499,7 +505,8 @@ def test_extract_features_error_column_distinguishes_causes(spark):
     rows = [
         ("good", "image", bytearray(ok_png)),
         ("corrupt", "image", bytearray(b"BMgarbage")),
-        ("vid", "video", bytearray(b"RIFF....AVI ")),
+        ("vid_mp4", "video", bytearray(b"\x00\x00\x00\x18ftypmp42")),
+        ("vid_badavi", "video", bytearray(b"RIFF\xff\xff\xff\xffAVI junk")),
         ("weird", "hologram", bytearray(b"\x00\x01")),
     ]
     df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
@@ -507,5 +514,7 @@ def test_extract_features_error_column_distinguishes_causes(spark):
     assert out["good"].decode_ok and out["good"].error is None
     assert not out["corrupt"].decode_ok
     assert out["corrupt"].error.startswith("EngineValueError:")
-    assert out["vid"].error.startswith("NotImplementedError:")
+    # unsupported container vs corrupt AVI: different error classes
+    assert out["vid_mp4"].error.startswith("NotImplementedError:")
+    assert out["vid_badavi"].error.startswith("EngineValueError:")
     assert "hologram" in out["weird"].error
