@@ -7,7 +7,7 @@ majority of web JPEGs use):
 - decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS parsing, canonical
   Huffman tables via a 16-bit lookup array, restart-marker handling,
   sampling factors 1-2 in each axis (4:4:4, 4:2:2, 4:2:0), batched
-  dequantize + IDCT in one ``einsum`` per component, nearest-neighbor
+  dequantize + IDCT as batched matmuls per component, nearest-neighbor
   chroma upsampling, BT.601 YCbCr→RGB. Progressive (SOF2), arithmetic
   coding, 12-bit precision, and hierarchical modes raise
   ``EngineValueError`` — honestly unsupported, never mis-decoded.
@@ -15,9 +15,13 @@ majority of web JPEGs use):
   scaled Annex-K quantization tables, 4:4:4 or 4:2:0, standard
   Annex-K Huffman tables, byte stuffing.
 
-The entropy decode is inherently bit-serial; the per-symbol loop is
-Python over a flat 65536-entry list LUT (peek 16 bits → (symbol,
-length) in one index). Everything after the symbol stream — dequant,
+The entropy decode is inherently bit-serial (symbol k+1's position is
+unknown until symbol k is decoded). The hot path runs it in the shared
+self-compiled C helper (``kernels/cext.py``, ``jpeg_decode_scan`` —
+one call per restart segment filling the interleaved coefficient
+array); where no compiler exists, a per-symbol Python loop over a flat
+65536-entry peek-16 LUT produces identical coefficients
+(golden-tested). Everything after the symbol stream — dequant,
 de-zigzag, IDCT, upsample, color transform — is vectorized across all
 blocks of a component at once. JPEG is lossy: round-trips are asserted
 by error bound/PSNR in tests, never bit equality.
@@ -35,6 +39,7 @@ import struct
 import numpy as np
 
 from ..exceptions import EngineValueError
+from . import cext as _cext
 
 # hard cap on declared pixel count (same policy as the PNG decoder):
 # bounds every allocation against a lying header
@@ -379,14 +384,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "qt": qt[c["tq"]],
                 "dc": huff_dc[sc["td"]],
                 "ac": huff_ac[sc["ta"]],
-                "bw": mcus_x * c["h"],  # blocks per row across the image
-                "coef": np.zeros((n_mcus * c["h"] * c["v"], 64), dtype=np.int32),
-                "nblk": 0,
-                "pred": 0,
             }
         )
     if len(order) != len(comps):
         raise EngineValueError("JPEG scan does not cover all frame components.")
+
+    # MCU block-slot layout shared by the C and Python decoders: slots
+    # run component-major (comp 0's v*h blocks, then comp 1's, ...) —
+    # the spec's interleave order. Coefficients land in one interleaved
+    # (n_mcus * blocks_per_mcu, 64) zigzag array; dequant/de-zigzag/
+    # IDCT are vectorized afterwards.
+    bpm = sum(c["h"] * c["v"] for c in order)
+    slot_dc, slot_ac, slot_comp = [], [], []
+    for ci, c in enumerate(order):
+        for _ in range(c["h"] * c["v"]):
+            slot_dc.append(c["dc"])
+            slot_ac.append(c["ac"])
+            slot_comp.append(ci)
+    all_coef = np.zeros((n_mcus * bpm, 64), dtype=np.int32)
 
     # split entropy data at restart markers, unstuff each segment
     segments = []
@@ -401,38 +416,84 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     segments.append(scan[seg_start:])
     segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
 
+    lib = _cext.lib()
+    if lib is not None:
+        # stack the peek-16 LUTs once (int16 symbol / uint8 length per
+        # table), map each slot to its stack index
+        tab_ids: dict[int, int] = {}
+        stacks_sym, stacks_len = [], []
+
+        def _tab_index(lut) -> int:
+            key = id(lut)
+            if key not in tab_ids:
+                tab_ids[key] = len(stacks_sym)
+                stacks_sym.append(np.asarray(lut[0], dtype=np.int16))
+                stacks_len.append(np.asarray(lut[1], dtype=np.uint8))
+            return tab_ids[key]
+
+        blk_dc = np.array([_tab_index(t) for t in slot_dc], dtype=np.uint8)
+        blk_ac = np.array([_tab_index(t) for t in slot_ac], dtype=np.uint8)
+        blk_comp = np.array(slot_comp, dtype=np.uint8)
+        syms = np.ascontiguousarray(np.stack(stacks_sym).reshape(-1))
+        lens = np.ascontiguousarray(np.stack(stacks_len).reshape(-1))
+
+    _ERRS = {
+        -1: "corrupt JPEG entropy data (bad DC code).",
+        -2: "corrupt JPEG entropy data (bad AC code).",
+        -3: "corrupt JPEG entropy data (AC overrun).",
+    }
     mcus_per_seg = restart_interval if restart_interval else n_mcus
     mcu_idx = 0
     for seg in segments:
         if mcu_idx >= n_mcus:
             break
-        reader = _BitReader(seg)
-        for c in order:
-            c["pred"] = 0  # DC predictors reset at every restart
-        for _ in range(min(mcus_per_seg, n_mcus - mcu_idx)):
-            for c in order:
-                dc_sym, dc_len = c["dc"]
-                ac_sym, ac_len = c["ac"]
-                coef = c["coef"]
-                for _b in range(c["h"] * c["v"]):
-                    blk = coef[c["nblk"]]
-                    c["nblk"] += 1
+        seg_mcus = min(mcus_per_seg, n_mcus - mcu_idx)
+        if lib is not None:
+            seg_arr = np.frombuffer(seg, dtype=np.uint8)
+            preds = np.zeros(len(order), dtype=np.int64)
+            ret = lib.jpeg_decode_scan(
+                seg_arr.ctypes.data_as(_cext.U8P) if len(seg_arr) else _cext.U8P(),
+                len(seg_arr),
+                syms.ctypes.data_as(_cext.I16P),
+                lens.ctypes.data_as(_cext.U8P),
+                blk_dc.ctypes.data_as(_cext.U8P),
+                blk_ac.ctypes.data_as(_cext.U8P),
+                blk_comp.ctypes.data_as(_cext.U8P),
+                bpm,
+                seg_mcus,
+                all_coef[mcu_idx * bpm :].ctypes.data_as(_cext.I32P),
+                preds.ctypes.data_as(_cext.I64P),
+            )
+            if ret < 0:
+                raise EngineValueError(_ERRS[int(ret)])
+            overrun = int(ret)
+            mcu_idx += seg_mcus
+        else:
+            reader = _BitReader(seg)
+            preds_py = [0] * len(order)  # DC predictors reset per restart
+            for _ in range(seg_mcus):
+                base = mcu_idx * bpm
+                for s_no in range(bpm):
+                    dc_sym, dc_len = slot_dc[s_no]
+                    ac_sym, ac_len = slot_ac[s_no]
+                    ci = slot_comp[s_no]
+                    blk = all_coef[base + s_no]
                     # DC
                     v16 = reader.peek16()
                     s = dc_sym[v16]
                     if s < 0:
-                        raise EngineValueError("corrupt JPEG entropy data (bad DC code).")
+                        raise EngineValueError(_ERRS[-1])
                     reader.skip(dc_len[v16])
                     if s:
-                        c["pred"] += _extend(reader.read(s), s)
-                    blk[0] = c["pred"]
+                        preds_py[ci] += _extend(reader.read(s), s)
+                    blk[0] = preds_py[ci]
                     # AC
                     k = 1
                     while k < 64:
                         v16 = reader.peek16()
                         s = ac_sym[v16]
                         if s < 0:
-                            raise EngineValueError("corrupt JPEG entropy data (bad AC code).")
+                            raise EngineValueError(_ERRS[-2])
                         reader.skip(ac_len[v16])
                         r, size = s >> 4, s & 0x0F
                         if size == 0:
@@ -442,25 +503,32 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             break  # EOB
                         k += r
                         if k > 63:
-                            raise EngineValueError("corrupt JPEG entropy data (AC overrun).")
+                            raise EngineValueError(_ERRS[-3])
                         blk[k] = _extend(reader.read(size), size)
                         k += 1
-            mcu_idx += 1
+                mcu_idx += 1
+            overrun = reader.overrun
         # a valid final peek can prefetch up to ~24 pad bits; anything
         # beyond that means the stream ran dry mid-MCU
-        if reader.overrun > 32:
+        if overrun > 32:
             raise EngineValueError("truncated JPEG entropy data.")
     if mcu_idx < n_mcus:
         raise EngineValueError("truncated JPEG entropy data (missing MCUs).")
 
     # reconstruct each component plane: batched dequant + IDCT
     planes = []
+    slot_start = 0
+    coef_3d = all_coef.reshape(n_mcus, bpm, 64)
     for c in order:
-        coef = c["coef"].astype(np.float64) * c["qt"][None, :]
+        n_slots = c["h"] * c["v"]
+        comp_coef = coef_3d[:, slot_start : slot_start + n_slots, :].reshape(-1, 64)
+        slot_start += n_slots
+        coef = comp_coef.astype(np.float64) * c["qt"][None, :]
         blocks = np.zeros((coef.shape[0], 64), dtype=np.float64)
         blocks[:, ZIGZAG] = coef
         blocks = blocks.reshape(-1, 8, 8)
-        pix = np.einsum("ij,njk,kl->nil", _DCT8.T, blocks, _DCT8) + 128.0
+        # batched IDCT as two broadcast matmuls (BLAS path; ~3x einsum)
+        pix = (_DCT8.T @ blocks) @ _DCT8 + 128.0
         # block order is MCU-major: (mcu, v, h); scatter into the plane
         bh, bw = c["v"], c["h"]
         grid = pix.reshape(mcus_y, mcus_x, bh, bw, 8, 8)
@@ -520,7 +588,7 @@ def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     quantization vectorize across every block of the plane at once."""
     ph, pw = plane.shape
     blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    freq = np.einsum("ij,njk,kl->nil", _DCT8, blocks, _DCT8.T).reshape(-1, 64)
+    freq = ((_DCT8 @ blocks) @ _DCT8.T).reshape(-1, 64)
     q = np.round(freq / qtab[None, :]).astype(np.int64)
     return q[:, ZIGZAG]  # zig[z] = raster[ZIGZAG[z]]
 

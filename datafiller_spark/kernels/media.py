@@ -38,17 +38,13 @@ errors instead of OOMing the executor.
 
 from __future__ import annotations
 
-import ctypes
-import os
 import struct
-import subprocess
-import tempfile
-import threading
 import zlib
 
 import numpy as np
 
 from ..exceptions import EngineValueError
+from . import cext
 
 
 # ---------------------------------------------------------------- BMP
@@ -196,75 +192,21 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 #
 # The two recursive scanline filters (recon[x] depends on recon[x-c])
 # are the only part of the decoder NumPy cannot vectorize. The fast
-# path compiles the two row loops below with the system C compiler once
-# per worker process (~1-2 s, cached for the process lifetime) and
-# calls them through ctypes — per-row cost drops from ~1.6 ms (Python)
-# to ~20 µs on a 512x3 RGB row. Where no compiler exists the tuned
-# pure-Python-int fallback (~3x the naive numpy-scalar loop) keeps the
-# decoder fully functional and byte-identical (golden-tested).
+# path calls the shared self-compiled C helper (``kernels/cext.py``,
+# built once per worker process) — per-row cost drops from ~1.6 ms
+# (Python) to ~20 µs on a 512x3 RGB row. Where no compiler exists the
+# tuned pure-Python-int fallback (~3x the naive numpy-scalar loop)
+# keeps the decoder fully functional and byte-identical
+# (golden-tested).
 
-_DEFILTER_C_SRC = r"""
-#include <stdint.h>
-static int iabs(int v) { return v < 0 ? -v : v; }
-void defilter_avg(const uint8_t* line, const uint8_t* prev, uint8_t* out,
-                  long stride, long c) {
-    for (long x = 0; x < stride; x++) {
-        int a = x >= c ? out[x - c] : 0;
-        out[x] = (uint8_t)(line[x] + ((a + prev[x]) >> 1));
-    }
-}
-void defilter_paeth(const uint8_t* line, const uint8_t* prev, uint8_t* out,
-                    long stride, long c) {
-    for (long x = 0; x < stride; x++) {
-        int a = x >= c ? out[x - c] : 0;
-        int b = prev[x];
-        int cc = x >= c ? prev[x - c] : 0;
-        int p = a + b - cc;
-        int pa = iabs(p - a), pb = iabs(p - b), pc = iabs(p - cc);
-        int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : cc);
-        out[x] = (uint8_t)(line[x] + pred);
-    }
-}
-"""
-
-_DEFILTER_STATE: dict = {"lib": None, "tried": False}
-_DEFILTER_LOCK = threading.Lock()
-_U8P = ctypes.POINTER(ctypes.c_uint8)
+_U8P = cext.U8P
 
 
 def _defilter_lib():
-    """Compile+load the C row kernels once per process; None if no
-    working compiler (or ``DATAFILLER_SPARK_NO_CC=1`` forces the pure-
-    Python fallback, which the tests use to pin byte-parity)."""
-    if _DEFILTER_STATE["tried"]:
-        return _DEFILTER_STATE["lib"]
-    with _DEFILTER_LOCK:
-        if _DEFILTER_STATE["tried"]:
-            return _DEFILTER_STATE["lib"]
-        lib = None
-        if os.environ.get("DATAFILLER_SPARK_NO_CC") != "1":
-            try:
-                d = tempfile.mkdtemp(prefix="datafiller_defilter_")
-                c_path = os.path.join(d, "defilter.c")
-                so_path = os.path.join(d, "defilter.so")
-                with open(c_path, "w") as f:
-                    f.write(_DEFILTER_C_SRC)
-                subprocess.run(
-                    ["cc", "-O2", "-shared", "-fPIC", "-o", so_path, c_path],
-                    check=True,
-                    capture_output=True,
-                    timeout=60,
-                )
-                cand = ctypes.CDLL(so_path)
-                for fn in (cand.defilter_avg, cand.defilter_paeth):
-                    fn.argtypes = [_U8P, _U8P, _U8P, ctypes.c_long, ctypes.c_long]
-                    fn.restype = None
-                lib = cand
-            except Exception:
-                lib = None  # no compiler on this worker: Python fallback
-        _DEFILTER_STATE["lib"] = lib
-        _DEFILTER_STATE["tried"] = True
-        return lib
+    """The shared C helper library, or None (no compiler /
+    ``DATAFILLER_SPARK_NO_CC=1`` — tests use that to pin byte-parity of
+    the pure-Python fallback)."""
+    return cext.lib()
 
 
 def _defilter_avg_py(line: np.ndarray, prev: np.ndarray, c: int) -> np.ndarray:

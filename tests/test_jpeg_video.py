@@ -166,6 +166,56 @@ def test_jpeg_dims_cap():
         decode_jpeg(bytes(data))
 
 
+def test_jpeg_entropy_c_and_python_paths_identical(monkeypatch):
+    """The self-compiled C scan decoder and the per-symbol Python loop
+    must produce identical pixels on every supported shape (golden
+    parity, same pattern as the PNG defilter)."""
+    from datafiller_spark.kernels import cext
+
+    img = _photo(48, 64)
+    cases = [
+        encode_jpeg(img),
+        encode_jpeg(img, subsampling="420"),
+        encode_jpeg(img[:47, :63], subsampling="420", quality=95),
+        encode_jpeg(img[:, :, 0]),
+        encode_jpeg(img, restart_interval=3),
+        encode_jpeg(img, quality=30),
+    ]
+    with_lib = [decode_jpeg(d) for d in cases]
+    monkeypatch.setitem(cext._STATE, "lib", None)
+    monkeypatch.setitem(cext._STATE, "tried", True)
+    without = [decode_jpeg(d) for d in cases]
+    for i, (a, b) in enumerate(zip(with_lib, without)):
+        assert np.array_equal(a, b), f"case {i}: C and Python paths differ"
+    # hostile payloads raise the same way on the Python path
+    with pytest.raises(EngineValueError):
+        decode_jpeg(cases[0][:-40])
+
+
+def test_jpeg_entropy_c_speedup(monkeypatch):
+    """Entropy decode is the bit-serial hot loop; the C path must be
+    clearly faster than the Python loop on a symbol-dense image."""
+    import time
+
+    from datafiller_spark.kernels import cext
+
+    if cext.lib() is None:
+        pytest.skip("no C compiler on this host; Python fallback only")
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)  # max symbols
+    data = encode_jpeg(noisy, quality=90)
+    decode_jpeg(data)  # warm
+    t0 = time.perf_counter()
+    decode_jpeg(data)
+    fast = time.perf_counter() - t0
+    monkeypatch.setitem(cext._STATE, "lib", None)
+    monkeypatch.setitem(cext._STATE, "tried", True)
+    t0 = time.perf_counter()
+    decode_jpeg(data)
+    slow = time.perf_counter() - t0
+    assert slow / fast >= 2, f"only {slow / fast:.1f}x ({fast*1e3:.0f} ms C)"
+
+
 # ------------------------------------------------------------- AVI
 
 
