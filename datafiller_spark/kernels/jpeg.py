@@ -176,10 +176,23 @@ def _canonical_codes(bits: list, vals: list) -> dict:
     return out
 
 
-def _decode_lut(bits: list, vals: list) -> tuple[list, list]:
+_LUT_CACHE: dict = {}
+
+
+def _decode_lut(bits: list, vals: list) -> tuple:
     """65536-entry (symbol, length) lookup: index with the next 16 bits
     of the stream, read length, consume. Baseline codes are ≤16 bits so
-    one peek always suffices."""
+    one peek always suffices. Returns (sym_list, len_list, sym_int16,
+    len_uint8) — the list forms for the Python fallback, the NumPy
+    forms for the C scan decoder. Cached by table content: building the
+    64K tables costs ~5 ms, and every frame of an MJPEG stream (and
+    virtually every JPEG in a corpus) reuses the standard Annex-K
+    tables, so per-decode rebuild was the dominant cost on small
+    frames."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     sym = [-1] * 65536
     ln = [0] * 65536
     code, k = 0, 0
@@ -194,7 +207,11 @@ def _decode_lut(bits: list, vals: list) -> tuple[list, list]:
             code += 1
             k += 1
         code <<= 1
-    return sym, ln
+    out = (sym, ln, np.asarray(sym, dtype=np.int16), np.asarray(ln, dtype=np.uint8))
+    if len(_LUT_CACHE) >= 64:  # bound against hostile many-table streams
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
 class _BitReader:
@@ -427,8 +444,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             key = id(lut)
             if key not in tab_ids:
                 tab_ids[key] = len(stacks_sym)
-                stacks_sym.append(np.asarray(lut[0], dtype=np.int16))
-                stacks_len.append(np.asarray(lut[1], dtype=np.uint8))
+                stacks_sym.append(lut[2])  # cached int16 form
+                stacks_len.append(lut[3])  # cached uint8 form
             return tab_ids[key]
 
         blk_dc = np.array([_tab_index(t) for t in slot_dc], dtype=np.uint8)
@@ -474,8 +491,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for _ in range(seg_mcus):
                 base = mcu_idx * bpm
                 for s_no in range(bpm):
-                    dc_sym, dc_len = slot_dc[s_no]
-                    ac_sym, ac_len = slot_ac[s_no]
+                    dc_sym, dc_len = slot_dc[s_no][0], slot_dc[s_no][1]
+                    ac_sym, ac_len = slot_ac[s_no][0], slot_ac[s_no][1]
                     ci = slot_comp[s_no]
                     blk = all_coef[base + s_no]
                     # DC
