@@ -685,6 +685,22 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_thumbnails(spark, sf_dir):
+    """Decode → resize(8x8 bilinear) → re-encode-PNG normalization over
+    every synthesized asset (images directly, videos via their first
+    decoded MJPEG frame, audio honestly decode_ok=false). The DuckDB
+    oracle recomputes the metadata from the doc_id formulas; the resize
+    math itself is pinned by tests/test_imageops.py (np.repeat
+    equivalence, identity exactness, hand-computed lerp values)."""
+    from datafiller_spark.operators.multimodal import thumbnails
+
+    docs = load_table(spark, sf_dir, "documents")
+    th = thumbnails(synthesize_assets(docs.select("doc_id")), out_h=8, out_w=8)
+    return th.select(
+        "asset_id", "src_width", "src_height", "width", "height", "decode_ok"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -732,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "video_frames": q_video_frames,
+        "thumbnails": q_thumbnails,
     }
 
 
@@ -1393,6 +1410,15 @@ SELECT CAST(doc_id AS VARCHAR) AS asset_id,
             ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
        END AS channels,
        CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 100 AS INTEGER) END AS sample_rate
+FROM documents
+"""
+    sql["thumbnails"] = """
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INTEGER) END AS src_width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INTEGER) END AS src_height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INTEGER) END AS height,
+       doc_id % 2 = 0 AS decode_ok
 FROM documents
 """
     sql["video_frames"] = """

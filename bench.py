@@ -81,6 +81,7 @@ HEADLINE = [
     "fingerprint",
     "multimodal_decode",
     "video_frames",
+    "thumbnails",
 ]
 
 

@@ -316,6 +316,84 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, schema=ASSET_SCHEMA)
 
 
+def thumbnails(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    method: str = "bilinear",
+    grayscale: bool = False,
+) -> DataFrame:
+    """Decode → resize → re-encode thumbnail pipeline over the asset
+    table's image rows (the standard training-data normalization step).
+
+    Output: (asset_id, src_width, src_height, width, height, decode_ok,
+    payload) — ``payload`` is the resized image re-encoded as PNG
+    (filter-0; deterministic bytes for a given input). Video rows
+    thumbnail their FIRST decoded frame; audio rows and undecodable
+    payloads pass through with ``decode_ok = false`` and NULL payload.
+    Resize is the half-pixel-center convention in
+    ``kernels/imageops.py`` (nearest or bilinear), fully vectorized —
+    the whole operator is one ``mapInPandas`` scan, no shuffle.
+    """
+    from ..kernels.imageops import resize_bilinear, resize_nearest, to_grayscale
+
+    if method not in ("bilinear", "nearest"):
+        raise EngineValueError(f"unknown resize method {method!r}.")
+    resize = resize_bilinear if method == "bilinear" else resize_nearest
+    out_schema = StructType(
+        [
+            StructField("asset_id", StringType()),
+            StructField("src_width", IntegerType()),
+            StructField("src_height", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("decode_ok", BooleanType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def batches(iterator):
+        for pdf in iterator:
+            m = len(pdf)
+            sw = [None] * m
+            sh = [None] * m
+            ok = np.zeros(m, dtype=bool)
+            out_payload = [None] * m
+            for i, (kind, payload) in enumerate(zip(pdf["kind"], pdf["payload"])):
+                payload = b"" if payload is None else bytes(payload)
+                try:
+                    if kind == "image":
+                        img = decode_asset(payload, kind)
+                    elif kind == "video" and is_avi(payload):
+                        jpegs, _fps, _offs = demux_avi(payload)
+                        if not jpegs:
+                            continue
+                        img = decode_jpeg(jpegs[0])
+                    else:
+                        continue
+                    sh[i], sw[i] = int(img.shape[0]), int(img.shape[1])
+                    small = resize(img, out_h, out_w)
+                    if grayscale:
+                        small = to_grayscale(small)
+                    out_payload[i] = encode_png(small)
+                    ok[i] = True
+                except (EngineValueError, NotImplementedError):
+                    continue  # poisoned asset: decode_ok stays false
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "src_width": sw,
+                    "src_height": sh,
+                    "width": [out_w if o else None for o in ok],
+                    "height": [out_h if o else None for o in ok],
+                    "decode_ok": ok,
+                    "payload": out_payload,
+                }
+            )
+
+    return df.select("asset_id", "kind", "payload").mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 1024,
