@@ -266,8 +266,10 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     - ``id % 10 == 6`` → video: MJPEG-in-AVI, ``width = 4 + id % 13``,
       ``height = 3 + id % 7``, ``n_frames = 2 + id % 3``, fps 5
       (duration = n_frames / 5); frames are real baseline JPEGs;
-    - other even ``id`` → image: ``id % 4 == 0`` PNG grayscale else
-      BMP RGB; ``width = 4 + id % 13``, ``height = 3 + id % 7``;
+    - other even ``id`` → image: ``id % 4 == 0`` PNG grayscale,
+      ``id % 12 == 2`` baseline JPEG RGB (4:4:4 q95 — metadata is
+      exact even though pixels are lossy), else BMP RGB;
+      ``width = 4 + id % 13``, ``height = 3 + id % 7``;
     - ``id`` odd → WAV PCM-16: ``channels = 2 if id % 3 == 0 else 1``,
       ``sample_rate = 8000 + (id % 5) * 100``.
     """
@@ -300,7 +302,11 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         payload = encode_png(base.reshape(h, w).astype(np.uint8))
                     else:
                         img = np.stack([(base + k * 31) % 256 for k in range(3)], axis=1)
-                        payload = encode_bmp(img.reshape(h, w, 3).astype(np.uint8))
+                        img = img.reshape(h, w, 3).astype(np.uint8)
+                        if i % 12 == 2:  # JPEG image coverage in the oracle path
+                            payload = encode_jpeg(img, quality=95)
+                        else:
+                            payload = encode_bmp(img)
                     kind = "image"
                 else:
                     ch = 2 if i % 3 == 0 else 1
