@@ -267,6 +267,51 @@ def test_avi_hostile_payloads():
         decode_video(b"RIFF\x04\x00\x00\x00AVI ")  # valid magic, no frames
 
 
+def test_jpeg_mutation_fuzz_never_escapes():
+    """Deterministic byte-mutation fuzz: every corruption of a valid
+    JPEG must either decode (harmless bit damage) or raise
+    EngineValueError — never any other exception, hang, or crash (the
+    C scan decoder is in this loop; its bounds are the contract)."""
+    rng = np.random.default_rng(1234)
+    img = _photo(32, 40)
+    base = bytearray(encode_jpeg(img, subsampling="420", restart_interval=2))
+    outcomes = {"ok": 0, "engine_error": 0}
+    for _ in range(300):
+        data = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(2, len(data)))
+            data[pos] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except EngineValueError:
+            outcomes["engine_error"] += 1
+    assert sum(outcomes.values()) == 300
+    assert outcomes["engine_error"] > 0  # corruption is actually detected
+
+
+def test_avi_mutation_and_truncation_fuzz():
+    """Same contract for the container walker: decode_video on mutated/
+    truncated AVIs either yields frames or raises EngineValueError."""
+    rng = np.random.default_rng(99)
+    avi, _, _ = _fixture_avi(n=3)
+    base = bytearray(avi)
+    for trial in range(200):
+        data = bytearray(base)
+        if trial % 3 == 0:
+            data = data[: int(rng.integers(1, len(data)))]  # truncation
+        else:
+            for _ in range(rng.integers(1, 4)):
+                pos = int(rng.integers(0, len(data)))
+                data[pos] = int(rng.integers(0, 256))
+        try:
+            frames, fps = decode_video(bytes(data))
+            assert frames and fps > 0
+        except EngineValueError:
+            pass
+
+
 # ------------------------------------------------- Spark video paths
 
 
