@@ -97,7 +97,10 @@ long jpeg_decode_scan(const uint8_t* data, long n_bytes,
             {
                 uint32_t v16 = (acc >> (nbits - 16)) & 0xFFFF;
                 int sym = dsym[v16];
-                if (sym < 0) return -1;
+                /* baseline 8-bit DC magnitude categories are 0..11
+                 * (T.81 F.1.2.1); a hostile DHT can smuggle larger
+                 * symbols, which would shift by > nbits below */
+                if (sym < 0 || sym > 11) return -1;
                 nbits -= dlen[v16];
                 acc &= ((uint32_t)1 << nbits) - 1;
                 if (sym) {

@@ -283,6 +283,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise EngineValueError(f"corrupt JPEG marker stream at byte {pos}.")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:  # stray SOI
@@ -345,6 +348,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "baseline sequential Huffman only."
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise EngineValueError("truncated DRI segment.")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
@@ -495,10 +500,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     ac_sym, ac_len = slot_ac[s_no][0], slot_ac[s_no][1]
                     ci = slot_comp[s_no]
                     blk = all_coef[base + s_no]
-                    # DC
+                    # DC (baseline 8-bit magnitude categories are 0..11;
+                    # a hostile DHT can smuggle larger symbols, which
+                    # would over-shift the bit reader)
                     v16 = reader.peek16()
                     s = dc_sym[v16]
-                    if s < 0:
+                    if s < 0 or s > 11:
                         raise EngineValueError(_ERRS[-1])
                     reader.skip(dc_len[v16])
                     if s:

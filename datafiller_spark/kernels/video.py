@@ -45,8 +45,10 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
     frames: list[bytes] = []
     offsets: list[int] = []
 
-    def walk(pos: int, end: int, in_movi: bool) -> None:
+    def walk(pos: int, end: int, in_movi: bool, depth: int = 0) -> None:
         nonlocal fps
+        if depth > 16:  # real AVIs nest ~3 deep; bound hostile nesting
+            raise EngineValueError("AVI LIST nesting too deep.")
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -58,7 +60,7 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
                 if size < 4:
                     raise EngineValueError("truncated AVI LIST chunk.")
                 ltype = data[body_start : body_start + 4]
-                walk(body_start + 4, body_end, in_movi or ltype == b"movi")
+                walk(body_start + 4, body_end, in_movi or ltype == b"movi", depth + 1)
             elif cid == b"strh":
                 if size >= 32 and data[body_start : body_start + 4] == b"vids":
                     scale, rate = struct.unpack_from("<II", data, body_start + 20)
@@ -150,15 +152,28 @@ def mux_avi(frames: list[bytes], fps: int, width: int, height: int) -> bytes:
 
 def decode_video(data: bytes, frame_indices=None) -> tuple[list, float]:
     """MJPEG/AVI bytes → (list of decoded (H, W[, 3]) uint8 frames,
-    fps). ``frame_indices`` limits decode to those frame numbers
-    (container demux still walks all chunk headers — that's O(frames)
-    header reads, not O(frames) JPEG decodes)."""
+    fps). ``frame_indices`` limits decode to those frame numbers, in
+    the REQUESTED order (out-of-range indices are dropped, duplicates
+    honored — result[k] pairs with the k-th valid requested index);
+    container demux still walks all chunk headers, so skipping is
+    O(bytes scanned), not O(frames) JPEG decodes."""
     from .jpeg import decode_jpeg
 
     payloads, fps, _offsets = demux_avi(data)
     if not payloads:
         raise EngineValueError("AVI payload contains no video frames.")
     if frame_indices is not None:
-        wanted = sorted({i for i in frame_indices if 0 <= i < len(payloads)})
-        payloads = [payloads[i] for i in wanted]
+        payloads = [payloads[i] for i in frame_indices if 0 <= i < len(payloads)]
     return [decode_jpeg(p) for p in payloads], fps
+
+
+def first_frame(data: bytes) -> tuple:
+    """MJPEG/AVI bytes → (first decoded frame, n_frames, fps) — the
+    one-decode container probe the Spark scan stages share (metadata +
+    thumbnail paths must never decode every frame)."""
+    from .jpeg import decode_jpeg
+
+    payloads, fps, _offsets = demux_avi(data)
+    if not payloads:
+        raise EngineValueError("AVI payload contains no video frames.")
+    return decode_jpeg(payloads[0]), len(payloads), fps

@@ -52,7 +52,7 @@ from ..kernels.media import (
     encode_png,
     encode_wav,
 )
-from ..kernels.video import decode_video, demux_avi, is_avi, mux_avi
+from ..kernels.video import decode_video, demux_avi, first_frame, is_avi, mux_avi
 
 FEATURE_DIM = 16
 
@@ -220,13 +220,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                     elif kind == "video" and is_avi(payload):
                         # metadata from the container + ONE decoded frame
                         # (first) — never all frames in the scan stage
-                        jpegs, fps, _offs = demux_avi(payload)
-                        if not jpegs:
-                            raise EngineValueError("AVI payload contains no video frames.")
-                        feats, w, h, c = _image_features(decode_jpeg(jpegs[0]))
+                        frame, n_frames, fps = first_frame(payload)
+                        feats, w, h, c = _image_features(frame)
                         ok[i] = True
                         width[i], height[i], channels[i] = w, h, c
-                        duration[i] = len(jpegs) / fps if fps else 0.0
+                        duration[i] = n_frames / fps if fps else 0.0
                         features[i] = feats.tolist()
                     else:
                         # non-AVI video / unknown: decode_asset states why
@@ -371,10 +369,7 @@ def thumbnails(
                     if kind == "image":
                         img = decode_asset(payload, kind)
                     elif kind == "video" and is_avi(payload):
-                        jpegs, _fps, _offs = demux_avi(payload)
-                        if not jpegs:
-                            continue
-                        img = decode_jpeg(jpegs[0])
+                        img, _n, _fps = first_frame(payload)
                     else:
                         continue
                     sh[i], sw[i] = int(img.shape[0]), int(img.shape[1])

@@ -267,11 +267,72 @@ def test_avi_hostile_payloads():
         decode_video(b"RIFF\x04\x00\x00\x00AVI ")  # valid magic, no frames
 
 
-def test_jpeg_mutation_fuzz_never_escapes():
+def test_jpeg_hostile_dht_dc_symbol_raises_engine_error(monkeypatch):
+    """round-6 self-review: a DHT whose DC HUFFVAL bytes are 0xFF must
+    raise EngineValueError on BOTH entropy paths — not ValueError
+    (negative shift) in Python or undefined shifts in C."""
+    from datafiller_spark.kernels import cext
+
+    img = _photo(16, 16)
+    data = bytearray(encode_jpeg(img[:, :, 0]))
+    i = bytes(data).find(b"\xff\xc4")  # first DHT = DC luminance
+    seg_len = struct.unpack_from(">H", data, i + 2)[0]
+    # overwrite the HUFFVAL list (after the 2-len + 1-class + 16-counts)
+    for k in range(i + 4 + 17, i + 2 + seg_len):
+        data[k] = 0xFF
+    for force_python in (False, True):
+        if force_python:
+            monkeypatch.setitem(cext._STATE, "lib", None)
+            monkeypatch.setitem(cext._STATE, "tried", True)
+        with pytest.raises(EngineValueError):
+            decode_jpeg(bytes(data))
+
+
+def test_jpeg_empty_dri_and_fill_bytes():
+    img = _photo(16, 16)
+    good = encode_jpeg(img)
+    # DRI with declared length 2 (empty body): EngineValueError, not struct.error
+    bad = good[:2] + b"\xff\xdd\x00\x02" + good[2:]
+    with pytest.raises(EngineValueError, match="DRI"):
+        decode_jpeg(bad)
+    # T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is VALID
+    i = good.find(b"\xff\xc4")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+
+def test_avi_deep_nesting_raises_engine_error():
+    """round-6 self-review: unbounded LIST recursion escaped as
+    RecursionError; now bounded with EngineValueError."""
+    inner = b""
+    for _ in range(2000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"movi" + inner
+    data = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(EngineValueError, match="nesting"):
+        demux_avi(data)
+
+
+def test_decode_video_frame_indices_preserve_request_order():
+    avi, _, frames_px = _fixture_avi(n=4)
+    out, _ = decode_video(avi, frame_indices=[3, 0, 0, 99])
+    assert len(out) == 3  # 99 dropped; duplicate honored, order kept
+    assert np.array_equal(out[1], out[2])
+    ref, _ = decode_video(avi)
+    assert np.array_equal(out[0], ref[3]) and np.array_equal(out[1], ref[0])
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_jpeg_mutation_fuzz_never_escapes(monkeypatch, force_python):
     """Deterministic byte-mutation fuzz: every corruption of a valid
     JPEG must either decode (harmless bit damage) or raise
-    EngineValueError — never any other exception, hang, or crash (the
-    C scan decoder is in this loop; its bounds are the contract)."""
+    EngineValueError — never any other exception, hang, or crash —
+    on BOTH entropy paths (the C scan decoder's bounds and the Python
+    bit reader's shifts are the contract)."""
+    if force_python:
+        from datafiller_spark.kernels import cext
+
+        monkeypatch.setitem(cext._STATE, "lib", None)
+        monkeypatch.setitem(cext._STATE, "tried", True)
     rng = np.random.default_rng(1234)
     img = _photo(32, 40)
     base = bytearray(encode_jpeg(img, subsampling="420", restart_interval=2))
