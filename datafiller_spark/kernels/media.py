@@ -6,11 +6,12 @@ three production formats need none:
 - **BMP** (Windows bitmap): uncompressed ``BI_RGB`` 24/32-bit with a
   ``BITMAPINFOHEADER`` — plain struct parsing, row padding, bottom-up
   row order. No compression spec at all.
-- **WAV** (RIFF PCM): chunked container, integer PCM 8/16/32-bit and
-  IEEE-float 32-bit payloads.
+- **WAV** (RIFF PCM): chunked container, integer PCM 8/16/24/32-bit
+  (24-bit widened losslessly to full-scale int32) and IEEE-float
+  32-bit payloads.
 - **PNG**: 8-bit grayscale / RGB / RGBA (color types 0/2/6),
-  non-interlaced — zlib inflate (stdlib) + the five scanline filters
-  (None/Sub/Up/Average/Paeth) from the PNG spec.
+  sequential or Adam7-interlaced — zlib inflate (stdlib) + the five
+  scanline filters (None/Sub/Up/Average/Paeth) from the PNG spec.
 
 These are the real decoders behind ``operators/multimodal.py``'s
 ``extract_features`` (the engine-new multimodal requirement, SURVEY
@@ -109,7 +110,8 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM → ((n_samples, channels) array, sample_rate).
 
-    Integer PCM comes back in its native width (uint8 / int16 / int32),
+    Integer PCM comes back in its native width (uint8 / int16 / int32;
+    24-bit is widened losslessly to FULL-SCALE int32, i.e. << 8),
     format-3 payloads as float32 — callers normalize as they need.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -137,6 +139,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if channels < 1:
         raise EngineValueError("WAV payload declares zero channels.")
     if audio_format == 1:
+        if bits == 24:
+            # 3-byte little-endian PCM has no NumPy dtype: widen to
+            # int32 by byte assembly + sign extension, then shift to
+            # the full int32 scale (lossless, and downstream int32
+            # normalization — samples / 2^31 — stays correct)
+            n = len(raw) // (3 * channels)
+            b = np.frombuffer(raw, dtype=np.uint8, count=n * channels * 3)
+            b = b.reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v) << 8
+            return v.reshape(n, channels), rate
         dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}.get(bits)
         if dtype is None:
             raise EngineValueError(f"unsupported PCM bit depth {bits}.")
@@ -254,50 +267,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
 _MAX_PIXELS = 64 * 1024 * 1024
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG (gray/RGB/RGBA) → (H, W[, C]) uint8."""
-    if not data.startswith(_PNG_SIG):
-        raise EngineValueError("not a PNG payload (missing signature).")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
-    while pos + 8 <= len(data):
-        size, ctype = struct.unpack_from(">I4s", data, pos)
-        body = data[pos + 8 : pos + 8 + size]
-        if ctype == b"IHDR":
-            if len(body) != 13:
-                raise EngineValueError("truncated PNG IHDR chunk.")
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size  # length + type + crc
-    if ihdr is None or not idat:
-        raise EngineValueError("PNG payload missing IHDR/IDAT chunk.")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise EngineValueError(
-            f"unsupported PNG format (depth={depth}, color type={color}): "
-            "8-bit gray/RGB/RGBA only."
-        )
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise EngineValueError("unsupported PNG compression/filter/interlace method.")
-    if w == 0 or h == 0:
-        raise EngineValueError(f"invalid PNG dimensions {w}x{h}.")
-    if w * h > _MAX_PIXELS:
-        raise EngineValueError(f"PNG declares {w}x{h} pixels (cap {_MAX_PIXELS}).")
-    c = _PNG_CHANNELS[color]
-    stride = w * c
-    expected = h * (stride + 1)
-    # bounded inflate: never allocate more than the declared scanline
-    # bytes + 1, so a zlib bomb raises here instead of OOMing the task
-    try:
-        inflated = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
-    except zlib.error as exc:
-        raise EngineValueError(f"corrupt PNG pixel stream: {exc}") from None
-    if len(inflated) != expected:
-        raise EngineValueError("PNG pixel data does not match declared dimensions.")
-    raw = np.frombuffer(inflated, dtype=np.uint8)
-    raw = raw.reshape(h, stride + 1)
+def _defilter_image(raw: np.ndarray, h: int, stride: int, c: int) -> np.ndarray:
+    """(h, stride+1) filterbyte+scanline rows → (h, stride) recon bytes.
+    Shared by the sequential and each Adam7-pass decode."""
     filters = raw[:, 0]
     if filters.max(initial=0) > 4:
         bad = int(filters[filters > 4][0])
@@ -332,7 +304,92 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = _defilter_avg_py(line, prev, c)
         else:  # Paeth, Python fallback
             out[y] = _defilter_paeth_py(line, prev, c)
-    img = out.reshape(h, w, c)
+    return out
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int, c: int):
+    """Yield (x0, y0, xs, ys, pw, ph) for each NON-EMPTY Adam7 pass."""
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            yield x0, y0, xs, ys, pw, ph
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit PNG (gray/RGB/RGBA; sequential or Adam7-interlaced) →
+    (H, W[, C]) uint8."""
+    if not data.startswith(_PNG_SIG):
+        raise EngineValueError("not a PNG payload (missing signature).")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(data):
+        size, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            if len(body) != 13:
+                raise EngineValueError("truncated PNG IHDR chunk.")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if ihdr is None or not idat:
+        raise EngineValueError("PNG payload missing IHDR/IDAT chunk.")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise EngineValueError(
+            f"unsupported PNG format (depth={depth}, color type={color}): "
+            "8-bit gray/RGB/RGBA only."
+        )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise EngineValueError("unsupported PNG compression/filter/interlace method.")
+    if w == 0 or h == 0:
+        raise EngineValueError(f"invalid PNG dimensions {w}x{h}.")
+    if w * h > _MAX_PIXELS:
+        raise EngineValueError(f"PNG declares {w}x{h} pixels (cap {_MAX_PIXELS}).")
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    if interlace == 0:
+        expected = h * (stride + 1)
+    else:
+        expected = sum(ph * (pw * c + 1) for _, _, _, _, pw, ph in _adam7_passes(w, h, c))
+    # bounded inflate: never allocate more than the declared scanline
+    # bytes + 1, so a zlib bomb raises here instead of OOMing the task
+    try:
+        inflated = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:
+        raise EngineValueError(f"corrupt PNG pixel stream: {exc}") from None
+    if len(inflated) != expected:
+        raise EngineValueError("PNG pixel data does not match declared dimensions.")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    if interlace == 0:
+        out = _defilter_image(raw.reshape(h, stride + 1), h, stride, c)
+        img = out.reshape(h, w, c)
+    else:
+        # Adam7: each pass is an independently-filtered sub-image,
+        # scattered onto its sparse grid (strided assignment — the
+        # scatter itself is pure NumPy)
+        img = np.zeros((h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys, pw, ph in _adam7_passes(w, h, c):
+            n = ph * (pw * c + 1)
+            sub = raw[off : off + n].reshape(ph, pw * c + 1)
+            off += n
+            recon = _defilter_image(sub, ph, pw * c, c)
+            img[y0::ys, x0::xs] = recon.reshape(ph, pw, c)
     return img[:, :, 0] if c == 1 else img
 
 
@@ -372,8 +429,14 @@ def _encode_filters(raw: np.ndarray, c: int) -> np.ndarray:
     return cands
 
 
-def encode_png(arr: np.ndarray, filters: str | list | None = None) -> bytes:
-    """(H, W[, C]) uint8 (gray/RGB/RGBA) → non-interlaced PNG bytes.
+def encode_png(
+    arr: np.ndarray, filters: str | list | None = None, interlace: bool = False
+) -> bytes:
+    """(H, W[, C]) uint8 (gray/RGB/RGBA) → PNG bytes.
+
+    ``interlace=True`` emits Adam7 passes (filter-0 scanlines per
+    pass — fixture-grade; ``filters`` applies to the sequential form
+    only).
 
     ``filters``:
 
@@ -394,6 +457,22 @@ def encode_png(arr: np.ndarray, filters: str | list | None = None) -> bytes:
     else:
         raise EngineValueError("encode_png expects (H, W), (H, W, 3) or (H, W, 4) uint8.")
     h, w = arr.shape[:2]
+    if interlace:
+        if filters is not None:
+            raise EngineValueError("interlaced encode supports filter-0 scanlines only.")
+        parts = []
+        for x0, y0, xs, ys, pw, ph in _adam7_passes(w, h, c):
+            sub = arr[y0::ys, x0::xs].reshape(ph, pw * c)
+            scan = np.zeros((ph, 1 + pw * c), dtype=np.uint8)
+            scan[:, 1:] = sub
+            parts.append(scan.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+            + _png_chunk(b"IEND", b"")
+        )
     raw = arr.reshape(h, w * c)
     scan = np.zeros((h, 1 + w * c), dtype=np.uint8)
     if filters is None:

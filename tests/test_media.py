@@ -135,7 +135,7 @@ def test_wav_errors():
     with pytest.raises(EngineValueError):
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(EngineValueError):
-        decode_wav(_wav_bytes(1, 24, b"\x00" * 6))  # 24-bit unsupported
+        decode_wav(_wav_bytes(1, 12, b"\x00" * 6))  # 12-bit unsupported
     with pytest.raises(EngineValueError):
         decode_wav(_wav_bytes(7, 16, b"\x00" * 4))  # mu-law unsupported
 
@@ -336,6 +336,42 @@ def test_png_defilter_speed_512_rgb():
         _defilter_naive(line, prev, None, 3, paeth=True)
     naive = (time.perf_counter() - t0) * (512 / 64)
     assert naive / fast >= 10, f"only {naive / fast:.1f}x over naive ({fast*1e3:.1f} ms)"
+
+
+def test_wav_24bit_pcm_decodes_to_fullscale_int32():
+    """24-bit PCM (3-byte LE, no NumPy dtype — real audio corpora use
+    it) widens losslessly to full-scale int32 (<< 8), so downstream
+    int32 normalization (/ 2^31) keeps amplitudes right."""
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    wav = _wav_bytes(1, 24, raw, channels=1, rate=44100)
+    out, rate = decode_wav(wav)
+    assert rate == 44100 and out.dtype == np.int32
+    assert out[:, 0].tolist() == [v << 8 for v in vals]
+    # stereo: interleaved samples land in (n, 2); 18 bytes = 3 frames
+    wav2 = _wav_bytes(1, 24, raw[:18], channels=2, rate=8000)
+    out2, _ = decode_wav(wav2)
+    assert out2.shape == (3, 2)
+    assert out2[0].tolist() == [vals[0] << 8, vals[1] << 8]
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 PNGs (color types 0/2/6, every dims class that exercises
+    empty passes) decode to the same pixels as the sequential form."""
+    for shape in [(16, 16, 3), (9, 13, 3), (1, 1), (2, 2, 4), (3, 1), (1, 5, 3), (8, 8)]:
+        img = _det_image(*shape) if len(shape) == 2 else _det_image(shape[0], shape[1], shape[2])
+        inter = encode_png(img, interlace=True)
+        assert np.array_equal(decode_png(inter), img), f"shape {shape}"
+        # interlace byte actually set (not silently sequential)
+        assert inter[len(_PNG_SIG) + 8 + 12] == 1
+    with pytest.raises(EngineValueError):
+        encode_png(_det_image(4, 4), filters="adaptive", interlace=True)
+    # truncated interlaced pixel stream still raises
+    img = _det_image(16, 16, 3)
+    inter = bytearray(encode_png(img, interlace=True))
+    # corrupt the IDAT length's payload by dropping trailing IDAT bytes
+    with pytest.raises(EngineValueError):
+        decode_png(bytes(inter[:-30]))
 
 
 def test_wav_truncated_data_chunk_raises():
