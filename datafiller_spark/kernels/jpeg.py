@@ -661,16 +661,17 @@ def encode_jpeg(
 ) -> bytes:
     """(H, W) or (H, W, 3) uint8 → baseline JFIF JPEG bytes.
 
-    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 — what
-    real MJPEG streams use). Grayscale input ignores it.
+    ``subsampling``: '444' (no chroma subsampling), '422' (2x1
+    horizontal) or '420' (2x2 — what real MJPEG streams use).
+    Grayscale input ignores it.
     ``restart_interval``: emit a DRI segment and RSTn markers every N
     MCUs (0 = none) — the resync mechanism MJPEG streams use.
     """
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim not in (2, 3) or (arr.ndim == 3 and arr.shape[2] != 3):
         raise EngineValueError("encode_jpeg expects (H, W) or (H, W, 3) uint8.")
-    if subsampling not in ("444", "420"):
-        raise EngineValueError(f"unsupported subsampling {subsampling!r} (444/420).")
+    if subsampling not in ("444", "422", "420"):
+        raise EngineValueError(f"unsupported subsampling {subsampling!r} (444/422/420).")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise EngineValueError("encode_jpeg: empty image.")
@@ -686,6 +687,8 @@ def encode_jpeg(
         comps = [(1, 1, 1, 0)]  # id, h, v, tq
     elif subsampling == "444":
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsampling == "422":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     else:
         comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     hmax = max(c[1] for c in comps)

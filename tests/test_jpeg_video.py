@@ -93,8 +93,10 @@ def test_huffman_tables_form_valid_prefix_code(bits, vals):
     [
         ((48, 64), {}, 38),
         ((48, 64, 3), {"subsampling": "444"}, 36),
+        ((48, 64, 3), {"subsampling": "422"}, 32),
         ((48, 64, 3), {"subsampling": "420"}, 31),
         ((47, 63, 3), {"subsampling": "420", "quality": 95}, 31),
+        ((45, 61, 3), {"subsampling": "422"}, 32),
         ((9, 17), {}, 36),
     ],
 )
@@ -176,6 +178,7 @@ def test_jpeg_entropy_c_and_python_paths_identical(monkeypatch):
     cases = [
         encode_jpeg(img),
         encode_jpeg(img, subsampling="420"),
+        encode_jpeg(img, subsampling="422"),
         encode_jpeg(img[:47, :63], subsampling="420", quality=95),
         encode_jpeg(img[:, :, 0]),
         encode_jpeg(img, restart_interval=3),
