@@ -433,7 +433,7 @@ def q_pack_sequences(spark, sf_dir):
 
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
@@ -441,7 +441,7 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
     # tuned on the sf0.1 recall/cost curve (scripts/ann_recall_sweep.py,
@@ -468,7 +468,7 @@ def q_ivf_topk(spark, sf_dir):
     from datafiller_spark.operators import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 10)
     # C=32/nprobe=24 swept config is now the operator default
@@ -482,7 +482,7 @@ def q_embedding_near_dupes(spark, sf_dir):
     from datafiller_spark.operators import embedding_near_dupes
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return embedding_near_dupes(emb, "vec_id", "embedding", threshold=0.4)
 
@@ -500,7 +500,7 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
     from datafiller_spark.operators import embedding_near_dupes_lsh
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     corpus = emb.unionByName(
         emb.select(

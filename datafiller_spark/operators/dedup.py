@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..spread import spread_input
 from .banding import banded_pairs
 
 _MERSENNE = (1 << 31) - 1
@@ -89,7 +90,12 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     canonical_id) where canonical_id is the smallest member id.
     """
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    fps = df.select(F.col(id_col), F.md5(normalized).alias("fp"))
+    # regexp+md5 over the full text runs as wide as the scan splits;
+    # spread_input un-bottlenecks single-row-group inputs (no-op on
+    # well-split tables)
+    fps = spread_input(df.select(id_col, text_col)).select(
+        F.col(id_col), F.md5(normalized).alias("fp")
+    )
     groups = fps.groupBy("fp").agg(
         F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
     )
@@ -116,35 +122,189 @@ def _shingles_expr(text_col: str, n: int):
     )
 
 
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's trim()
+# strips only 0x20 — replicate BOTH exactly or unicode whitespace
+# splits differently than the SQL contract form
+_WS_ASCII = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _shingle_list(t: str | None, n: int) -> list[str]:
+    """Distinct word n-grams of one document, first-occurrence order —
+    the Python twin of ``_shingles_expr`` (pinned equal by tests).
+    Shared by the ``_shingles`` UDF and the broadcast-index stream so
+    both compute the identical gram sets."""
+    if t is None:
+        # size(null) fails the >= n condition in the SQL form,
+        # which then yields the empty array
+        return []
+    words = _WS_ASCII.split(t.strip(" ").lower())
+    if len(words) < n:
+        return []
+    grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    return list(dict.fromkeys(grams))
+
+
 def _shingles(text_col: str, n: int):
     """Distinct word n-grams in ONE Arrow stage — value-identical to
     ``_shingles_expr`` (first-occurrence order preserved, like
     ``array_distinct``)."""
-    import re
-
-    # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's
-    # trim() strips only 0x20 — replicate BOTH exactly or unicode
-    # whitespace splits differently than the SQL contract form
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<string>")
     def shingle(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                # size(null) fails the >= n condition in the SQL form,
-                # which then yields the empty array
-                out.append([])
-                continue
-            words = ws.split(t.strip(" ").lower())
-            if len(words) < n:
-                out.append([])
-                continue
-            grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
-            out.append(list(dict.fromkeys(grams)))
-        return pd.Series(out)
+        return pd.Series([_shingle_list(t, n) for t in texts])
 
     return shingle(F.col(text_col))
+
+
+#: default byte budget for the broadcast posting index of the n-gram
+#: Jaccard fast path: total (doc, gram) entries whose int64 ids +
+#: gram-string keys comfortably fit one broadcast (~2 s to ship, a few
+#: hundred MB deserialized per Python worker at the cap)
+_INDEX_MAX_ENTRIES = 32_000_000
+
+_INT_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _jaccard_via_broadcast_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_posting_len: int | None,
+    max_entries: int,
+    id_type: str,
+) -> DataFrame | None:
+    """Small/medium-corpus fast path for exact n-gram Jaccard: broadcast
+    the posting index, count intersections per document with one
+    ``np.unique`` — ZERO pair shuffle.
+
+    The shuffle form expands every (doc_a, doc_b, shared-gram) occurrence
+    into a row (O(Σ L²) rows — ~10⁸ at 50 k docs), Arrow-ships them to
+    the JVM, partially aggregates, exchanges ~1 GB and aggregates again,
+    all to find the handful of above-threshold pairs. When the inverted
+    index fits a broadcast (≤ ``max_entries`` total (doc, gram) entries),
+    the same counts fall out of a per-document vectorized pass:
+    concatenate the (pre-sorted) posting lists of the doc's grams, keep
+    ids > doc (each pair counted exactly once, from its smaller id), and
+    ``np.unique(…, return_counts=True)`` IS the per-pair shared-gram
+    count. Candidate work is identical to the shuffle form (same Σ L²
+    elements touched) but at NumPy sort speed with nothing crossing the
+    wire. The same hybrid-by-bound pattern as ``dup_clusters``' driver
+    union-find; above the bound the shuffle path runs unchanged — that
+    remains the 100 TB shape.
+
+    Job shape (each job costs ~1.5 s of fixed dispatch on the bench
+    box): (1) a JVM-only budget gate — Σ max(words − n + 1, 0) upper-
+    bounds the distinct-gram entries without running any Python; (2) ONE
+    shingle pass, collected, from which the driver inverts the posting
+    index vectorized (factorize + lexsort) and broadcasts it; the
+    returned plan re-shingles inline inside the counting kernel
+    (``_shingle_list``), so the caller's action is one more job and the
+    whole path runs the Python shingler exactly twice with no persist.
+
+    Jaccard values are bit-identical to the shuffle form: the division
+    is the same float64 op, and the final round(…, 6) + threshold filter
+    stay JVM-side (Python applies only a provably-loose raw prefilter,
+    ``j ≥ threshold − 1e-6``: a raw value below that cannot round up to
+    ``threshold`` since round6 moves a value by ≤ 5e-7).
+
+    Returns None (caller falls back) when the gate exceeds the budget.
+    Integer id columns only — candidate ordering relies on numpy/JVM
+    agreeing on id order, which holds for ints but not for non-ASCII
+    strings (numpy compares code points, Spark compares UTF-8 bytes).
+    """
+    spark = docs.sparkSession
+    # JVM-only gate: distinct grams per doc ≤ max(n_words − n + 1, 0)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    upper = docs.agg(
+        F.sum(F.greatest(F.size(words) - (n - 1), F.lit(0))).alias("e")
+    ).first()["e"] or 0
+    if upper == 0 or upper > max_entries:
+        return None
+    shingled = docs.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    pdf = shingled.toPandas()
+    ids = pdf["id"].to_numpy().astype(np.int64)
+    gram_arrays = pdf["grams"].to_numpy()
+    lens = np.fromiter((len(g) for g in gram_arrays), dtype=np.int64, count=len(pdf))
+    # driver-side posting inversion, vectorized: one factorize + one
+    # lexsort over the flat (gram, id) entries
+    flat_ids = np.repeat(ids, lens)
+    if len(gram_arrays):
+        flat_grams = np.concatenate([np.asarray(g, dtype=object) for g in gram_arrays])
+    else:
+        flat_grams = np.array([], dtype=object)
+    codes, gram_names = pd.factorize(flat_grams)
+    order = np.lexsort((flat_ids, codes))
+    sorted_flat_ids = flat_ids[order]
+    counts = np.bincount(codes, minlength=len(gram_names))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cap = max_posting_len if max_posting_len is not None else np.iinfo(np.int64).max
+    index = {
+        gram_names[c]: sorted_flat_ids[starts[c] : starts[c] + counts[c]]
+        for c in np.nonzero((counts >= 2) & (counts <= cap))[0]
+    }
+    doc_order = np.argsort(ids)
+    sorted_ids = ids[doc_order]
+    sorted_n = lens[doc_order]
+    bc = spark.sparkContext.broadcast((index, sorted_ids, sorted_n))
+    loose = threshold - 1e-6
+
+    def _count(batches):
+        idx, sid, sn = bc.value
+        for pdf in batches:
+            out_a, out_b, out_i, out_u = [], [], [], []
+            for a, text in zip(pdf[id_col], pdf[text_col]):
+                grams = _shingle_list(text, n)
+                na = len(grams)
+                if not na:
+                    continue
+                a = int(a)
+                lists = []
+                for g in grams:
+                    arr = idx.get(g)
+                    if arr is not None:
+                        # pre-sorted posting list: slice to ids > a so the
+                        # pair (a, b) is counted once, from its smaller id
+                        tail = arr[np.searchsorted(arr, a, side="right") :]
+                        if len(tail):
+                            lists.append(tail)
+                if not lists:
+                    continue
+                cand = np.concatenate(lists)
+                b, inter = np.unique(cand, return_counts=True)
+                nb = sn[np.searchsorted(sid, b)]
+                union = na + nb - inter
+                keep = inter >= loose * union  # loose raw prefilter only
+                if not keep.any():
+                    continue
+                out_a.append(np.full(int(keep.sum()), a, dtype=np.int64))
+                out_b.append(b[keep])
+                out_i.append(inter[keep].astype(np.int64))
+                out_u.append(union[keep].astype(np.int64))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "inter": np.concatenate(out_i),
+                        "union_size": np.concatenate(out_u),
+                    }
+                )
+
+    raw = docs.mapInPandas(
+        _count,
+        schema=f"id_a {id_type}, id_b {id_type}, inter bigint, union_size bigint",
+    )
+    # round + threshold stay JVM-side: Spark's HALF_UP round is the
+    # cross-engine contract (numpy rounds half-to-even)
+    return (
+        raw.withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_size", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -155,6 +315,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_posting_len: int | None = None,
     pair_block: int = _PAIR_BLOCK,
+    broadcast_index_max_entries: int | None = _INDEX_MAX_ENTRIES,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingle sets.
 
@@ -178,7 +339,22 @@ def ngram_jaccard_pairs(
     ``_PAIR_BLOCK`` ≈ 64 MB of index arrays); with ``None`` only total
     CPU work is unbounded.
     """
-    shingled = df.select(
+    docs = spread_input(df.select(id_col, text_col))
+    id_type = df.schema[id_col].dataType.simpleString()
+    if broadcast_index_max_entries and id_type in _INT_ID_TYPES:
+        fast = _jaccard_via_broadcast_index(
+            docs,
+            id_col,
+            text_col,
+            n,
+            threshold,
+            max_posting_len,
+            broadcast_index_max_entries,
+            id_type,
+        )
+        if fast is not None:
+            return fast
+    shingled = docs.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
     sizes = shingled.select("id", F.size("grams").alias("n_grams"))
@@ -195,7 +371,14 @@ def ngram_jaccard_pairs(
     members = members.where(F.size("ids") >= 2)
     if max_posting_len is not None:
         members = members.where(F.size("ids") <= max_posting_len)
-    id_type = df.schema[id_col].dataType.simpleString()
+    # pair-expansion work is O(L²) per posting list while the list ROWS
+    # are tiny: AQE's byte-based coalescing would shrink this exchange
+    # to a handful of tasks and serialize the CPU-heavy expansion, so
+    # re-spread the lists round-robin over the cluster (4 waves/core
+    # smooths the L² skew between lists)
+    members = members.select("ids").repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1) * 4
+    )
 
     def _expand(batches):
         # Streamed pair expansion: pairs are emitted in ≤ pair_block
@@ -319,7 +502,7 @@ def _shingled_signatures(
     exactly once for signatures and verification alike.
     """
     params = _minhash_params(num_hashes)
-    shingled = df.select(
+    shingled = spread_input(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
     return shingled.select(
@@ -616,7 +799,9 @@ def simhash_duplicates(
     """Documents sharing an identical 64-bit SimHash (near-dup at the
     token-multiset level). Output: (simhash, group_size, doc_id,
     canonical_id)."""
-    sigs = df.select(F.col(id_col), _simhash64(F.col(tokens_col)).alias("simhash"))
+    sigs = spread_input(df.select(id_col, tokens_col)).select(
+        F.col(id_col), _simhash64(F.col(tokens_col)).alias("simhash")
+    )
     groups = sigs.groupBy("simhash").agg(
         F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
     )
@@ -645,7 +830,9 @@ def simhash_near_dupes(
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sigs = df.select(F.col(id_col).alias("id"), _simhash64(F.col(tokens_col)).alias("simhash"))
+    sigs = spread_input(df.select(id_col, tokens_col)).select(
+        F.col(id_col).alias("id"), _simhash64(F.col(tokens_col)).alias("simhash")
+    )
     band_vals = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from ..exceptions import EngineValueError
+from ..spread import spread_input
 from ..kernels.jpeg import decode_jpeg, encode_jpeg
 from ..kernels.media import (
     _PNG_SIG,
@@ -249,7 +250,9 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("asset_id", "kind", "payload").mapInPandas(batches, schema=out_schema)
+    return spread_input(df.select("asset_id", "kind", "payload")).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -317,7 +320,10 @@ def synthesize_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append({"asset_id": str(i), "kind": kind, "payload": payload})
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload"])
 
-    return df.select(id_col).mapInPandas(batches, schema=ASSET_SCHEMA)
+    # ids are a handful of bytes per row: spreading an under-split scan
+    # costs a trivial exchange and lets the per-asset encoders (and every
+    # decoder chained downstream in the same stage) use the whole cluster
+    return spread_input(df.select(id_col)).mapInPandas(batches, schema=ASSET_SCHEMA)
 
 
 def thumbnails(
@@ -392,7 +398,9 @@ def thumbnails(
                 }
             )
 
-    return df.select("asset_id", "kind", "payload").mapInPandas(batches, schema=out_schema)
+    return spread_input(df.select("asset_id", "kind", "payload")).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def sample_frames(
@@ -478,4 +486,6 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows, columns=["asset_id", "frame_no", "offset", "features"])
 
-    return df.select("asset_id", "kind", "payload").mapInPandas(batches, schema=out_schema)
+    return spread_input(df.select("asset_id", "kind", "payload")).mapInPandas(
+        batches, schema=out_schema
+    )

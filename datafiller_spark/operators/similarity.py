@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..spread import spread_input
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -133,7 +135,9 @@ def cosine_topk(
     mixed-width or dirty corpora so ragged rows are NULLed corpus-wide
     instead of per-Arrow-batch.
     """
-    corpus = df.select(
+    # the corpus side streams through the broadcast join + cosine UDF in
+    # ONE narrow chain: an under-split scan would run it one-wide
+    corpus = spread_input(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
     queries = query_df.select(
@@ -276,6 +280,7 @@ def lsh_topk(
             "trigger a driver-side scan of the corpus."
         )
     tables = [_hyperplanes(dim, n_planes, seed=17 + 31 * t) for t in range(n_tables)]
+    df = spread_input(df)
     buckets = _bucket_udf(df, tables)
 
     corpus = df.select(
@@ -359,6 +364,10 @@ def embedding_near_dupes_lsh(
     if dim is None:
         raise ValueError("embedding_near_dupes_lsh requires dim (embedding width).")
     tables = [_hyperplanes(dim, n_planes, seed=17 + 31 * t) for t in range(n_tables)]
+    # no spread here: the heavy work (window + collect_list + pair
+    # verification) runs AFTER the (table, bucket) exchange, which
+    # already distributes it; an input repartition would only add an
+    # exchange of the payload vectors (measured: a net loss)
     buckets = _bucket_udf(df, tables)
 
     # ONE corpus scan: the vector rides through the bucket as banding
@@ -459,9 +468,14 @@ def train_ivf_centroids(
         # secondary sort on the vector string makes the order TOTAL for
         # distinct values, so the sampled multiset is scan-order-proof;
         # byte-identical vectors tying at the cut contribute identical
-        # values either way
-        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)), F.col("__v").cast("string"))
+        # values either way. The string is PROJECTED once: as an inline
+        # sort-key expression, TakeOrderedAndProject re-evaluates it per
+        # heap comparison (measured 6× the whole collect on dim-64
+        # vectors); the sampled rows are identical either way.
+        .select("__v", F.col("__v").cast("string").alias("__s"))
+        .orderBy(F.xxhash64("__s", F.lit(seed)), "__s")
         .limit(sample_size)
+        .select("__v")
         .collect()
     )
     x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
@@ -545,6 +559,7 @@ def ivf_topk(
     """
     if dim is None:
         raise ValueError("ivf_topk requires dim (embedding width).")
+    df = spread_input(df)
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, n_clusters, dim)
     nearest1 = _nearest_clusters_udf(df, centroids, 1)

@@ -55,7 +55,13 @@ def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       a synthetic but deterministic ingest time that spreads sequences
       over one day at minute grain, reproducible in ANSI SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..spread import spread_input
+
+    # the tokenize projection (md5 per word) and every Python kernel
+    # downstream (SimHash, bigrams, packing) inherit the scan's task
+    # count; a single-row-group documents file would run them one-wide
+    # (spread_input is a no-op on well-split production tables)
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(words))
     return docs.select(

@@ -90,7 +90,10 @@ def test_ngram_pair_expansion_streams_in_blocks(spark):
     boiler = "lorem ipsum dolor"  # 3-gram shared by every doc
     rows = [(i, f"{boiler} tail {i} x{i % 7} y{i % 5}") for i in range(60)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    kwargs = dict(n=3, threshold=0.05, max_posting_len=None)
+    # broadcast_index_max_entries=None pins the SHUFFLE path: pair_block
+    # only exists there (the r7 broadcast-index fast path never
+    # materializes pairs per gram)
+    kwargs = dict(n=3, threshold=0.05, max_posting_len=None, broadcast_index_max_entries=None)
     unchunked = {
         (r.id_a, r.id_b): (r.inter, r.union_size, r.jaccard)
         for r in ngram_jaccard_pairs(df, **kwargs).collect()
@@ -105,6 +108,47 @@ def test_ngram_pair_expansion_streams_in_blocks(spark):
         }
         assert chunked == unchunked
     assert len(unchunked) > 0
+
+
+def test_ngram_broadcast_index_fast_path_matches_shuffle_path(spark):
+    """The r7 broadcast-index fast path must reproduce the shuffle
+    path's output EXACTLY — same pairs, same inter/union/jaccard — with
+    and without a binding posting cap, including cap-binding corpora
+    where reported intersections are the capped lower bound."""
+    boiler = "lorem ipsum dolor"
+    rows = [(i, f"{boiler} unique tail {i} {i + 1} {i + 2}") for i in range(30)]
+    rows += [
+        (100, "a very distinctive document about tier rollups here"),
+        (101, "a very distinctive document about tier rollups there"),
+        (102, None),
+        (103, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    slow_by_cap = {}
+    for cap in (None, 10):
+        fast = {
+            (r.id_a, r.id_b): (r.inter, r.union_size, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, n=3, threshold=0.2, max_posting_len=cap
+            ).collect()
+        }
+        slow_by_cap[cap] = {
+            (r.id_a, r.id_b): (r.inter, r.union_size, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, n=3, threshold=0.2, max_posting_len=cap,
+                broadcast_index_max_entries=None,
+            ).collect()
+        }
+        assert fast == slow_by_cap[cap]
+        assert len(fast) > 0
+    # over-budget gate falls back to the shuffle path (still correct)
+    tiny_budget = {
+        (r.id_a, r.id_b): (r.inter, r.union_size, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.2, broadcast_index_max_entries=5
+        ).collect()
+    }
+    assert tiny_budget == slow_by_cap[None]
 
 
 def test_ngram_default_posting_cap_is_exact():
