@@ -331,7 +331,7 @@ def q_gapfill_metrics(spark, sf_dir):
 
 
 def q_tokens_meta(spark, sf_dir):
-    tok = tokenized_sequences(spark, sf_dir)
+    tok = tokenized_sequences(spark, sf_dir, spread=False)
     return tok.select("doc_id", "n_tok", "source", "event_ts")
 
 
@@ -346,7 +346,7 @@ def q_token_values(spark, sf_dir):
 
 
 def q_token_rollup_1m(spark, sf_dir):
-    tok = tokenized_sequences(spark, sf_dir)
+    tok = tokenized_sequences(spark, sf_dir, spread=False)
     t = rollup(tok, ["source"], "event_ts", "n_tok", "1m")
     return t.select(
         "source",
@@ -359,7 +359,7 @@ def q_token_rollup_1m(spark, sf_dir):
 
 
 def q_token_rollup_1h_cascade(spark, sf_dir):
-    tok = tokenized_sequences(spark, sf_dir)
+    tok = tokenized_sequences(spark, sf_dir, spread=False)
     t1m = rollup(tok, ["source"], "event_ts", "n_tok", "1m")
     t1h = cascade(t1m, ["source"], "1h")
     return t1h.select(
@@ -426,7 +426,7 @@ def q_pack_sequences(spark, sf_dir):
     per source (pretraining context packing) — one window cumsum."""
     from datafiller_spark.operators import pack_sequences
 
-    tok = tokenized_sequences(spark, sf_dir)
+    tok = tokenized_sequences(spark, sf_dir, spread=False)
     packed = pack_sequences(tok, ["source"], ["event_ts", "doc_id"], "n_tok", 4096)
     return packed.select("source", "doc_id", "n_tok", "bin_id", "bin_offset")
 

@@ -153,10 +153,29 @@ I32P = ctypes.POINTER(ctypes.c_int32)
 I64P = ctypes.POINTER(ctypes.c_int64)
 
 
+def _cache_path() -> str:
+    """Host-wide cache location for the compiled helper, keyed by the
+    SOURCE CONTENT hash: one compile serves every Python worker on the
+    host, across processes AND sessions, and a source edit gets a new
+    key instead of a stale library."""
+    import hashlib
+
+    digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"datafiller_cext_{digest}.so")
+
+
 def lib():
-    """Compile+load the helper library once per process; None if no
+    """Load (or compile once per HOST) the helper library; None if no
     working compiler or ``DATAFILLER_SPARK_NO_CC=1`` (tests use that to
-    pin the pure-Python fallbacks)."""
+    pin the pure-Python fallbacks).
+
+    The compiled ``.so`` is cached under a content-hash-keyed path and
+    published with an atomic rename, so the first worker to finish the
+    compile wins and every other worker (including every later session
+    on this host) loads without ever invoking ``cc``. Round-6 shipped a
+    per-process ``mkdtemp`` compile: at local[32] that was up to 32
+    identical compiles per session, ~2 s each on the cold path of every
+    media query."""
     if _STATE["tried"]:
         return _STATE["lib"]
     with _LOCK:
@@ -165,18 +184,24 @@ def lib():
         out = None
         if os.environ.get("DATAFILLER_SPARK_NO_CC") != "1":
             try:
-                d = tempfile.mkdtemp(prefix="datafiller_cext_")
-                c_path = os.path.join(d, "cext.c")
-                so_path = os.path.join(d, "cext.so")
-                with open(c_path, "w") as f:
-                    f.write(_C_SRC)
-                subprocess.run(
-                    ["cc", "-O2", "-shared", "-fPIC", "-o", so_path, c_path],
-                    check=True,
-                    capture_output=True,
-                    timeout=60,
-                )
-                cand = ctypes.CDLL(so_path)
+                so_cached = _cache_path()
+                if not os.path.exists(so_cached):
+                    d = tempfile.mkdtemp(prefix="datafiller_cext_")
+                    c_path = os.path.join(d, "cext.c")
+                    so_path = os.path.join(d, "cext.so")
+                    with open(c_path, "w") as f:
+                        f.write(_C_SRC)
+                    subprocess.run(
+                        ["cc", "-O2", "-shared", "-fPIC", "-o", so_path, c_path],
+                        check=True,
+                        capture_output=True,
+                        timeout=60,
+                    )
+                    # atomic publish: concurrent compilers race benignly
+                    # (same content, last rename wins, loads never see a
+                    # partial file)
+                    os.replace(so_path, so_cached)
+                cand = ctypes.CDLL(so_cached)
                 for fn in (cand.defilter_avg, cand.defilter_paeth):
                     fn.argtypes = [U8P, U8P, U8P, ctypes.c_long, ctypes.c_long]
                     fn.restype = None

@@ -42,7 +42,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenized_sequences(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """The input-hint table (doc_id, tokens, n_tok, source [, event_ts]).
 
     Deterministic derivation from ``documents``:
@@ -58,10 +58,15 @@ def tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..spread import spread_input
 
     # the tokenize projection (md5 per word) and every Python kernel
-    # downstream (SimHash, bigrams, packing) inherit the scan's task
-    # count; a single-row-group documents file would run them one-wide
-    # (spread_input is a no-op on well-split production tables)
-    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    # downstream (SimHash, bigrams, token explode) inherit the scan's
+    # task count; a single-row-group documents file would run them
+    # one-wide (spread_input is a no-op on well-split production
+    # tables). Consumers that only read n_tok/source — never the token
+    # arrays — pass ``spread=False``: for them the respread exchange is
+    # pure cost (the n_tok split+size is cheap JVM codegen).
+    docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        docs = spread_input(docs)
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(words))
     return docs.select(

@@ -7,6 +7,7 @@ reconstructs exactly at high quality. Table transcriptions are
 cross-checked against independently-typed spec constants.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -444,3 +445,39 @@ def test_synthesized_video_assets_decode(spark):
         # (tiny frames + 4:2:0 chroma on hard edges → generous bound)
         med = np.median(np.abs(src.astype(int) - frames[0].astype(int)))
         assert med <= 24, f"id {i}: median abs err {med}"
+
+
+def test_cext_so_cached_by_content_hash(monkeypatch, tmp_path):
+    """One compile serves the whole host: the .so is published under a
+    content-hash-keyed path with an atomic rename, so a second process
+    (simulated by resetting the in-process memo) loads WITHOUT invoking
+    cc. Round-7 optimization: round 6 compiled per worker per session."""
+    import subprocess as sp
+
+    from datafiller_spark.kernels import cext
+
+    if cext.lib() is None:
+        pytest.skip("no C compiler on this host; Python fallback only")
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile as _tf
+
+    monkeypatch.setattr(_tf, "tempdir", None)  # re-read TMPDIR
+    calls = []
+    real_run = sp.run
+
+    def counting_run(*args, **kwargs):
+        calls.append(args[0])
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(cext.subprocess, "run", counting_run)
+    # process 1: cold host (fresh TMPDIR) → exactly one compile
+    monkeypatch.setitem(cext._STATE, "lib", None)
+    monkeypatch.setitem(cext._STATE, "tried", False)
+    assert cext.lib() is not None
+    assert len(calls) == 1
+    assert os.path.exists(cext._cache_path())
+    # process 2 on the same host: loads the cached .so, cc never runs
+    monkeypatch.setitem(cext._STATE, "lib", None)
+    monkeypatch.setitem(cext._STATE, "tried", False)
+    assert cext.lib() is not None
+    assert len(calls) == 1, "second process must not recompile"
