@@ -322,6 +322,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_lut(bits, vals)
                 b += 17 + n
+            if b != len(body):
+                # 1-16 trailing bytes can't be a table header; stay
+                # consistent with the strict truncation policy above
+                raise EngineValueError("trailing garbage in JPEG DHT segment.")
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline/ext sequential
             if len(body) < 6:
                 raise EngineValueError("truncated SOF segment.")
@@ -366,12 +370,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # find the end of the entropy segment: next marker that is
             # not RSTn or a stuffed 0xFF00
             end = pos
+            found_marker = False
             while end + 1 < len(data):
                 if data[end] == 0xFF and data[end + 1] != 0x00 and not (
                     0xD0 <= data[end + 1] <= 0xD7
                 ):
+                    found_marker = True
                     break
                 end += 1
+            if not found_marker:
+                # EOI-truncated file: the final byte is entropy data,
+                # not the start of a marker — include it
+                end = len(data)
             scan = data[pos:end]
             pos = end
             break  # single-scan baseline: decode below
@@ -391,9 +401,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     by_id = {c["id"]: c for c in comps}
     order = []
+    seen_ids = set()
     for sc in comps_sos:
         if sc["id"] not in by_id:
             raise EngineValueError("JPEG SOS references unknown component.")
+        if sc["id"] in seen_ids:
+            # len(order) == len(comps) alone would pass a corrupt scan
+            # header listing one component twice, producing a wrong MCU
+            # slot layout and garbage pixels instead of a clear error
+            raise EngineValueError("JPEG SOS lists a component twice.")
+        seen_ids.add(sc["id"])
         c = by_id[sc["id"]]
         if c["tq"] not in qt:
             raise EngineValueError("JPEG component references missing quant table.")

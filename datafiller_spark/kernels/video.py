@@ -35,18 +35,24 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
     """AVI bytes → (JPEG frame payloads, frames_per_second, byte offset
     of each frame's chunk body within ``data``).
 
-    Only the video stream's '##dc'/'##db' chunks are returned; audio
-    ('##wb') and index chunks are skipped. fps comes from the first
-    'strh' with type 'vids' (rate/scale); defaults to 25.0 when absent.
+    Only the FIRST 'vids' stream's '##dc'/'##db' chunks are returned —
+    the chunk id's two-digit prefix must match that stream's index in
+    strh declaration order — so a multi-stream AVI (audio, text, or a
+    second video stream) cannot interleave foreign frames into the
+    sequence or pair them with the wrong fps. fps comes from that same
+    strh (rate/scale); when no 'vids' strh exists at all, any dc/db
+    chunk is accepted (headerless tolerance) at the default 25.0 fps.
     """
     if not is_avi(data):
         raise EngineValueError("not an AVI payload (missing RIFF/AVI magic).")
     fps = 25.0
     frames: list[bytes] = []
     offsets: list[int] = []
+    stream_count = 0
+    vid_stream: int | None = None
 
     def walk(pos: int, end: int, in_movi: bool, depth: int = 0) -> None:
-        nonlocal fps
+        nonlocal fps, stream_count, vid_stream
         if depth > 16:  # real AVIs nest ~3 deep; bound hostile nesting
             raise EngineValueError("AVI LIST nesting too deep.")
         while pos + 8 <= end:
@@ -62,11 +68,22 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
                 ltype = data[body_start : body_start + 4]
                 walk(body_start + 4, body_end, in_movi or ltype == b"movi", depth + 1)
             elif cid == b"strh":
-                if size >= 32 and data[body_start : body_start + 4] == b"vids":
+                # stream id = position in strh declaration order
+                this_stream = stream_count
+                stream_count += 1
+                if (
+                    vid_stream is None
+                    and size >= 32
+                    and data[body_start : body_start + 4] == b"vids"
+                ):
+                    vid_stream = this_stream
                     scale, rate = struct.unpack_from("<II", data, body_start + 20)
                     if scale and rate:
                         fps = rate / scale
             elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                if vid_stream is not None and cid[:2] != b"%02d" % vid_stream:
+                    pos = body_end + (size & 1)
+                    continue  # another stream's chunk: not our video
                 if len(frames) >= _MAX_FRAMES:
                     raise EngineValueError(f"AVI declares more than {_MAX_FRAMES} frames.")
                 frames.append(data[body_start:body_end])

@@ -481,3 +481,74 @@ def test_cext_so_cached_by_content_hash(monkeypatch, tmp_path):
     monkeypatch.setitem(cext._STATE, "tried", False)
     assert cext.lib() is not None
     assert len(calls) == 1, "second process must not recompile"
+
+
+def test_demux_avi_pins_first_video_stream():
+    """A two-stream AVI (vids + a second stream with dc chunks) must
+    demux ONLY the first video stream's frames — foreign '01dc' chunks
+    may not interleave into the sequence (round-6 advice)."""
+    img = _photo(16, 16)
+    good = encode_jpeg(img)
+    avi = bytearray(mux_avi([good, good], 5, 16, 16))
+    # craft a second strl (auds) and a foreign '01dc' chunk in movi
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+    strh2 = b"auds" + b"\x00" * 52
+    strl2 = lst(b"strl", chunk(b"strh", strh2))
+    # insert the second strl right after the first strl (inside hdrl)
+    hdrl_at = bytes(avi).find(b"hdrl")
+    hdrl_size_at = hdrl_at - 8
+    first_strl_at = bytes(avi).find(b"strl") - 8
+    first_strl_size = struct.unpack_from("<I", avi, first_strl_at + 4)[0]
+    insert_at = first_strl_at + 8 + first_strl_size + (first_strl_size & 1)
+    avi = avi[:insert_at] + strl2 + avi[insert_at:]
+    # grow the hdrl LIST and RIFF sizes
+    for at in (hdrl_size_at + 4, 4):
+        struct.pack_into("<I", avi, at, struct.unpack_from("<I", avi, at)[0] + len(strl2))
+    # append a foreign frame chunk into movi
+    movi_at = bytes(avi).find(b"movi")
+    movi_size_at = movi_at - 8
+    movi_size = struct.unpack_from("<I", avi, movi_size_at + 4)[0]
+    foreign = chunk(b"01dc", b"\xde\xad\xbe\xef")
+    movi_end = movi_size_at + 8 + movi_size
+    avi = avi[:movi_end] + foreign + avi[movi_end:]
+    for at in (movi_size_at + 4, 4):
+        struct.pack_into("<I", avi, at, struct.unpack_from("<I", avi, at)[0] + len(foreign))
+    frames, fps, offs = demux_avi(bytes(avi))
+    assert len(frames) == 2  # the foreign 01dc chunk was NOT taken
+    assert all(f == good for f in frames)
+    assert fps == 5.0
+
+
+def test_jpeg_dht_trailing_garbage_raises():
+    data = bytearray(encode_jpeg(_photo(16, 16)))
+    at = bytes(data).find(b"\xff\xc4")
+    size_at = at + 2
+    old = struct.unpack_from(">H", data, size_at)[0]
+    # append 3 garbage bytes inside the DHT segment body
+    data = data[: at + 2 + old] + b"\x01\x02\x03" + data[at + 2 + old :]
+    struct.pack_into(">H", data, size_at, old + 3)
+    with pytest.raises(EngineValueError, match="DHT"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_sos_duplicate_component_raises():
+    data = bytearray(encode_jpeg(_photo(16, 16)))  # RGB: 3 scan components
+    at = bytes(data).find(b"\xff\xda")
+    # SOS body: [len:2][ns:1][(id, tables) * ns]...; duplicate comp 0 into comp 1's slot
+    ns_at = at + 4
+    assert data[ns_at] == 3
+    data[ns_at + 3] = data[ns_at + 1]  # comp 1 id := comp 0 id
+    with pytest.raises(EngineValueError, match="twice"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_eoi_truncated_tail_byte_still_decodes():
+    """Stripping the trailing EOI marker leaves complete entropy data;
+    the last byte must not be silently dropped (round-6 advice)."""
+    full = encode_jpeg(_photo(24, 24), quality=90)
+    assert full.endswith(b"\xff\xd9")
+    truncated = full[:-2]
+    assert np.array_equal(decode_jpeg(truncated), decode_jpeg(full))
