@@ -153,7 +153,12 @@ def _shingles(text_col: str, n: int):
     def shingle(texts: pd.Series) -> pd.Series:
         return pd.Series([_shingle_list(t, n) for t in texts])
 
-    return shingle(F.col(text_col))
+    # non-deterministic mark (optimization guide §4.4): without it the
+    # optimizer pushes filters on the output column (size(grams) > 0,
+    # join-key isnotnull) BELOW this UDF's projection and evaluates the
+    # whole shingler twice — once below the respread exchange at scan
+    # width. Values are pure; the mark only forbids duplication.
+    return shingle.asNondeterministic()(F.col(text_col))
 
 
 #: default byte budget for the broadcast posting index of the n-gram
@@ -487,7 +492,9 @@ def _signature_udf(params: list[tuple[int, int]]):
             out.append((h[None, :] * a + b) % _MERSENNE if len(gs) else None)
         return pd.Series([o.min(axis=1) if o is not None else None for o in out])
 
-    return signature
+    # §4.4 non-deterministic mark: stop the optimizer duplicating the
+    # signature computation below exchanges (values are pure)
+    return signature.asNondeterministic()
 
 
 def _shingled_signatures(
@@ -753,7 +760,7 @@ def dup_clusters(
 
 
 @F.pandas_udf(LongType())
-def _simhash64(tokens: pd.Series) -> pd.Series:
+def _simhash64_impl(tokens: pd.Series) -> pd.Series:
     """64-bit SimHash over int token-id arrays — ONE vectorized pass for
     the whole Arrow batch: all token ids are avalanched flat, their hash
     bits unpacked to a (total_tokens, 64) matrix, and per-document bit
@@ -791,6 +798,13 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     sims = np.packbits(majority, axis=1, bitorder="little").view(np.int64).ravel()
     out[nz] = sims
     return pd.Series(out)
+
+
+# §4.4 non-deterministic mark: joins on the simhash column push an
+# isnotnull filter below the projection and re-evaluate the whole UDF
+# at scan width (measured: the duplicated evaluation dominated
+# q_simhash's wall). Values are pure; the mark only blocks duplication.
+_simhash64 = _simhash64_impl.asNondeterministic()
 
 
 def simhash_duplicates(

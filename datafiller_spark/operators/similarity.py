@@ -109,7 +109,10 @@ def _pair_cosine_udf(dim: int | None = None):
             out.loc[valid, "nb"] = np.sqrt(np.cumsum(y * y, axis=1)[:, -1])
         return out
 
-    return parts
+    # §4.4 non-deterministic mark: threshold/rank filters and join-key
+    # isnotnull pushdown must not re-evaluate the cosine kernel below
+    # an exchange (values are pure)
+    return parts.asNondeterministic()
 
 
 def _cosine6(a_col: str, b_col: str, dim: int | None = None):
@@ -234,7 +237,9 @@ def _bucket_udf(df: DataFrame, tables: list[np.ndarray]):
                 out[i] = row
         return pd.Series(out)
 
-    return buckets
+    # §4.4: joins on (table, bucket) push isnotnull below the explode
+    # and would run the GEMM bucketing twice without this mark
+    return buckets.asNondeterministic()
 
 
 def lsh_topk(
@@ -530,7 +535,9 @@ def _nearest_clusters_udf(df: DataFrame, centroids: np.ndarray, top: int):
                 out[i] = row
         return pd.Series(out)
 
-    return nearest
+    # §4.4: the cluster equi-join's isnotnull pushdown would duplicate
+    # the centroid GEMM below the join without this mark
+    return nearest.asNondeterministic()
 
 
 def ivf_topk(
