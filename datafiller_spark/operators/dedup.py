@@ -234,15 +234,21 @@ def _jaccard_via_broadcast_index(
     ids = pdf["id"].to_numpy().astype(np.int64)
     gram_arrays = pdf["grams"].to_numpy()
     lens = np.fromiter((len(g) for g in gram_arrays), dtype=np.int64, count=len(pdf))
-    # driver-side posting inversion, vectorized: one factorize + one
-    # lexsort over the flat (gram, id) entries
+    # driver-side posting inversion, vectorized. Docs are processed in
+    # ASCENDING id order, so after a STABLE argsort by gram code each
+    # posting slice is already id-sorted — a single-key stable sort
+    # instead of a two-key lexsort.
+    doc_order = np.argsort(ids, kind="stable")
+    ids = ids[doc_order]
+    lens = lens[doc_order]
+    gram_arrays = gram_arrays[doc_order]
     flat_ids = np.repeat(ids, lens)
     if len(gram_arrays):
         flat_grams = np.concatenate([np.asarray(g, dtype=object) for g in gram_arrays])
     else:
         flat_grams = np.array([], dtype=object)
     codes, gram_names = pd.factorize(flat_grams)
-    order = np.lexsort((flat_ids, codes))
+    order = np.argsort(codes, kind="stable")
     sorted_flat_ids = flat_ids[order]
     counts = np.bincount(codes, minlength=len(gram_names))
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -251,9 +257,8 @@ def _jaccard_via_broadcast_index(
         gram_names[c]: sorted_flat_ids[starts[c] : starts[c] + counts[c]]
         for c in np.nonzero((counts >= 2) & (counts <= cap))[0]
     }
-    doc_order = np.argsort(ids)
-    sorted_ids = ids[doc_order]
-    sorted_n = lens[doc_order]
+    sorted_ids = ids
+    sorted_n = lens
     bc = spark.sparkContext.broadcast((index, sorted_ids, sorted_n))
     loose = threshold - 1e-6
 
