@@ -96,11 +96,14 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     fps = spread_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.md5(normalized).alias("fp")
     )
-    groups = fps.groupBy("fp").agg(
-        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
-    )
+    # group stats via a window over fp instead of agg + join-back: ONE
+    # exchange and ONE pass over the normalized text (the join form
+    # re-ran the scan+regexp+md5 on both sides) — identical rows out
+    w = Window.partitionBy("fp")
     return (
-        fps.join(groups.where(F.col("group_size") > 1), "fp")
+        fps.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .where(F.col("group_size") > 1)
         .select("fp", "group_size", F.col(id_col), "canonical_id")
     )
 
@@ -821,11 +824,15 @@ def simhash_duplicates(
     sigs = spread_input(df.select(id_col, tokens_col)).select(
         F.col(id_col), _simhash64(F.col(tokens_col)).alias("simhash")
     )
-    groups = sigs.groupBy("simhash").agg(
-        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
-    )
-    return sigs.join(groups.where(F.col("group_size") > 1), "simhash").select(
-        "simhash", "group_size", F.col(id_col), "canonical_id"
+    # window over simhash instead of agg + join-back: one exchange, one
+    # SimHash evaluation (the join form re-tokenized and re-hashed the
+    # corpus on both sides) — identical rows out
+    w = Window.partitionBy("simhash")
+    return (
+        sigs.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .where(F.col("group_size") > 1)
+        .select("simhash", "group_size", F.col(id_col), "canonical_id")
     )
 
 
