@@ -25,6 +25,7 @@ Embedding near-dup lives in similarity.py (cosine threshold).
 
 from __future__ import annotations
 
+import re
 import sys
 
 import numpy as np
@@ -128,7 +129,7 @@ def _shingles_expr(text_col: str, n: int):
 # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's trim()
 # strips only 0x20 — replicate BOTH exactly or unicode whitespace
 # splits differently than the SQL contract form
-_WS_ASCII = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+_WS_ASCII = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _shingle_list(t: str | None, n: int) -> list[str]:
