@@ -157,11 +157,25 @@ def _cache_path() -> str:
     """Host-wide cache location for the compiled helper, keyed by the
     SOURCE CONTENT hash: one compile serves every Python worker on the
     host, across processes AND sessions, and a source edit gets a new
-    key instead of a stale library."""
+    key instead of a stale library.
+
+    The cache lives in a PER-USER 0700 directory under the temp dir —
+    never a predictable world-writable path — so on a shared host no
+    other account can pre-plant a library at the expected name (CDLL
+    runs constructors) or park an unreadable file there that would
+    permanently disable the fast path. A directory owned by someone
+    else is refused (raises, caller falls back to pure Python)."""
     import hashlib
 
     digest = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"datafiller_cext_{digest}.so")
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"datafiller_cext_u{os.getuid()}"
+    )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid():
+        raise OSError(f"cext cache dir {cache_dir!r} not owned by this user")
+    return os.path.join(cache_dir, f"{digest}.so")
 
 
 def lib():
@@ -185,7 +199,8 @@ def lib():
         if os.environ.get("DATAFILLER_SPARK_NO_CC") != "1":
             try:
                 so_cached = _cache_path()
-                if not os.path.exists(so_cached):
+
+                def _compile_to(dest: str) -> None:
                     d = tempfile.mkdtemp(prefix="datafiller_cext_")
                     c_path = os.path.join(d, "cext.c")
                     so_path = os.path.join(d, "cext.so")
@@ -200,8 +215,18 @@ def lib():
                     # atomic publish: concurrent compilers race benignly
                     # (same content, last rename wins, loads never see a
                     # partial file)
-                    os.replace(so_path, so_cached)
-                cand = ctypes.CDLL(so_cached)
+                    os.replace(so_path, dest)
+
+                if not os.path.exists(so_cached):
+                    _compile_to(so_cached)
+                try:
+                    cand = ctypes.CDLL(so_cached)
+                except OSError:
+                    # corrupt/truncated cached file (e.g. a crashed
+                    # earlier session): recompile over it once instead
+                    # of permanently losing the fast path
+                    _compile_to(so_cached)
+                    cand = ctypes.CDLL(so_cached)
                 for fn in (cand.defilter_avg, cand.defilter_paeth):
                     fn.argtypes = [U8P, U8P, U8P, ctypes.c_long, ctypes.c_long]
                     fn.restype = None

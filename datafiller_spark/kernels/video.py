@@ -51,7 +51,14 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
     stream_count = 0
     vid_stream: int | None = None
 
-    def walk(pos: int, end: int, in_movi: bool, depth: int = 0) -> None:
+    # TWO passes over the RIFF tree: headers first, frames second. A
+    # single pass would leave vid_stream undetermined while walking a
+    # 'movi' LIST that precedes 'hdrl' (hostile/malformed ordering), and
+    # the headerless-tolerance branch would then accept every stream's
+    # chunks — exactly the foreign-frame interleaving the pinning is
+    # for. The header pass only touches chunk ids/sizes, never frame
+    # bytes, so the extra walk is a few hundred comparisons.
+    def walk(pos: int, end: int, in_movi: bool, depth: int, headers: bool) -> None:
         nonlocal fps, stream_count, vid_stream
         if depth > 16:  # real AVIs nest ~3 deep; bound hostile nesting
             raise EngineValueError("AVI LIST nesting too deep.")
@@ -66,21 +73,33 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
                 if size < 4:
                     raise EngineValueError("truncated AVI LIST chunk.")
                 ltype = data[body_start : body_start + 4]
-                walk(body_start + 4, body_end, in_movi or ltype == b"movi", depth + 1)
+                walk(
+                    body_start + 4,
+                    body_end,
+                    in_movi or ltype == b"movi",
+                    depth + 1,
+                    headers,
+                )
             elif cid == b"strh":
-                # stream id = position in strh declaration order
-                this_stream = stream_count
-                stream_count += 1
-                if (
-                    vid_stream is None
-                    and size >= 32
-                    and data[body_start : body_start + 4] == b"vids"
-                ):
-                    vid_stream = this_stream
-                    scale, rate = struct.unpack_from("<II", data, body_start + 20)
-                    if scale and rate:
-                        fps = rate / scale
-            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                if headers:
+                    # stream id = position in strh declaration order
+                    this_stream = stream_count
+                    stream_count += 1
+                    if (
+                        vid_stream is None
+                        and size >= 32
+                        and data[body_start : body_start + 4] == b"vids"
+                    ):
+                        vid_stream = this_stream
+                        scale, rate = struct.unpack_from("<II", data, body_start + 20)
+                        if scale and rate:
+                            fps = rate / scale
+            elif (
+                not headers
+                and in_movi
+                and len(cid) == 4
+                and cid[2:4] in (b"dc", b"db")
+            ):
                 if vid_stream is not None and cid[:2] != b"%02d" % vid_stream:
                     pos = body_end + (size & 1)
                     continue  # another stream's chunk: not our video
@@ -91,7 +110,9 @@ def demux_avi(data: bytes) -> tuple[list[bytes], float, list[int]]:
             pos = body_end + (size & 1)  # chunks are word-aligned
 
     declared = struct.unpack_from("<I", data, 4)[0]
-    walk(12, min(8 + declared, len(data)), False)
+    span = min(8 + declared, len(data))
+    walk(12, span, False, 0, True)
+    walk(12, span, False, 0, False)
     return frames, fps, offsets
 
 

@@ -100,9 +100,15 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     # group stats via a window over fp instead of agg + join-back: ONE
     # exchange and ONE pass over the normalized text (the join form
     # re-ran the scan+regexp+md5 on both sides) — identical rows out
+    # NULL text → NULL fp. The SQL contract form joins fps back to the
+    # per-fp groups, and a NULL key never joins — but a window PARTITION
+    # BY groups NULLs together and would emit them as a spurious
+    # duplicate group. Filter NULL fps explicitly to keep the window
+    # form equivalent to the join form on corpora with NULL documents.
     w = Window.partitionBy("fp")
     return (
-        fps.withColumn("group_size", F.count(F.lit(1)).over(w))
+        fps.where(F.col("fp").isNotNull())
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn("canonical_id", F.min(id_col).over(w))
         .where(F.col("group_size") > 1)
         .select("fp", "group_size", F.col(id_col), "canonical_id")
@@ -165,11 +171,17 @@ def _shingles(text_col: str, n: int):
     return shingle.asNondeterministic()(F.col(text_col))
 
 
-#: default byte budget for the broadcast posting index of the n-gram
-#: Jaccard fast path: total (doc, gram) entries whose int64 ids +
-#: gram-string keys comfortably fit one broadcast (~2 s to ship, a few
-#: hundred MB deserialized per Python worker at the cap)
-_INDEX_MAX_ENTRIES = 32_000_000
+#: default budget for the broadcast posting index of the n-gram
+#: Jaccard fast path, in total (doc, gram) entries. The per-worker
+#: deserialized cost is dict overhead + gram-string keys + int64 id
+#: arrays ≈ 200-300 bytes/entry worst case, i.e. ~2-2.5 GB per Python
+#: worker at this cap — bounded on any executor sized for pandas work,
+#: and EVERY worker of an executor pays it simultaneously during the
+#: counting stage, so the cap must stay conservative (32 M entries
+#: would be ~10 GB/worker: an OOM, not a fast path). sf1.0 of the
+#: bench corpus is 2.6 M entries; corpora past the budget take the
+#: streamed shuffle path, which is the 100 TB shape anyway.
+_INDEX_MAX_ENTRIES = 8_000_000
 
 _INT_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
 
@@ -352,6 +364,13 @@ def ngram_jaccard_pairs(
     pair expansion is streamed in ``pair_block``-sized blocks (default
     ``_PAIR_BLOCK`` ≈ 64 MB of index arrays); with ``None`` only total
     CPU work is unbounded.
+
+    ``broadcast_index_max_entries`` bounds the small-corpus broadcast-
+    index fast path (see ``_jaccard_via_broadcast_index``); its budget
+    gate runs one eager JVM-only scan of the text column at call time.
+    Callers at known over-budget scale should pass ``0``/``None``,
+    which skips the gate entirely and keeps the call fully lazy on the
+    streamed shuffle path.
     """
     docs = spread_input(df.select(id_col, text_col))
     id_type = df.schema[id_col].dataType.simpleString()

@@ -68,6 +68,7 @@ def main() -> None:
                 rec2 = {"ts": round(time.time(), 1), "event": "bench_launch", "log": out}
                 log.write(json.dumps(rec2) + "\n")
                 log.flush()
+                launch_ts = time.time()
                 with open(out, "w") as f:
                     rc = subprocess.run(
                         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -75,15 +76,21 @@ def main() -> None:
                         stderr=subprocess.STDOUT,
                         cwd=REPO,
                     ).returncode
-                pre = None
+                # only trust bench_detail_last.json if THIS run wrote it
+                # (rc == 0 and mtime after launch) — a crashed bench must
+                # not inherit a stale file's healthy pre-control
+                pre = value = None
+                detail_path = os.path.join(REPO, "bench_detail_last.json")
                 try:
-                    detail = json.load(
-                        open(os.path.join(REPO, "bench_detail_last.json"))
-                    )
-                    pre = detail.get("hardware_control_pre", {}).get("firsttouch_gb_s")
-                    value = detail.get("value")
+                    fresh = os.path.getmtime(detail_path) >= launch_ts
+                    if rc == 0 and fresh:
+                        detail = json.load(open(detail_path))
+                        pre = detail.get("hardware_control_pre", {}).get(
+                            "firsttouch_gb_s"
+                        )
+                        value = detail.get("value")
                 except Exception:
-                    value = None
+                    pass
                 rec3 = {
                     "ts": round(time.time(), 1),
                     "event": "bench_done",

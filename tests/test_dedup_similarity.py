@@ -37,6 +37,24 @@ def test_exact_duplicates(docs_with_dupes):
     assert all(r.canonical_id == 1 and r.group_size == 3 for r in out)
 
 
+def test_exact_duplicates_null_text_emits_no_null_group(spark):
+    """NULL text → NULL fingerprint. The SQL contract form (fps JOIN
+    groups USING (fp)) drops NULL keys — they never join — so the
+    window-form implementation must filter them too, not emit all NULL
+    documents as one spurious 'duplicate group'."""
+    rows = [
+        (1, "same text"),
+        (2, "same text"),
+        (3, None),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = exact_duplicates(docs, "doc_id", "text").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 2], f"NULL-text docs must not form a group: {out}"
+    assert all(r.fp is not None for r in out)
+
+
 def test_ngram_jaccard_finds_near_dup(docs_with_dupes):
     pairs = ngram_jaccard_pairs(docs_with_dupes, "doc_id", "text", n=3, threshold=0.4).collect()
     got = {(r.id_a, r.id_b) for r in pairs}

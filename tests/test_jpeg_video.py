@@ -522,6 +522,82 @@ def test_demux_avi_pins_first_video_stream():
     assert fps == 5.0
 
 
+def test_demux_avi_movi_before_hdrl_still_pins_stream():
+    """Stream pinning must survive hostile chunk ORDER: in an AVI whose
+    movi LIST precedes hdrl, a single-pass demuxer would walk the
+    frames while the vids stream id is still unknown and fall into the
+    headerless-tolerance branch, accepting every stream's chunks. The
+    two-pass walk reads headers first, so the foreign '01dc' chunk is
+    rejected regardless of where hdrl sits."""
+    img = _photo(16, 16)
+    good = encode_jpeg(img)
+    avi = bytearray(mux_avi([good, good], 5, 16, 16))
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    # append a foreign frame chunk into movi
+    movi_at = bytes(avi).find(b"movi")
+    movi_size_at = movi_at - 8
+    movi_size = struct.unpack_from("<I", avi, movi_size_at + 4)[0]
+    foreign = chunk(b"01dc", b"\xde\xad\xbe\xef")
+    movi_end = movi_size_at + 8 + movi_size
+    avi = avi[:movi_end] + foreign + avi[movi_end:]
+    for at in (movi_size_at + 4, 4):
+        struct.pack_into("<I", avi, at, struct.unpack_from("<I", avi, at)[0] + len(foreign))
+    # reorder the TOP-LEVEL chunks so movi comes before hdrl
+    data = bytes(avi)
+    pos, tops = 12, []
+    while pos + 8 <= len(data):
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        end = pos + 8 + size + (size & 1)
+        tops.append(data[pos:end])
+        pos = end
+    def is_movi(c):
+        return c[:4] == b"LIST" and c[8:12] == b"movi"
+    reordered = [c for c in tops if is_movi(c)] + [c for c in tops if not is_movi(c)]
+    swapped = data[:12] + b"".join(reordered)
+    assert swapped.find(b"movi") < swapped.find(b"hdrl")
+    frames, fps, offs = demux_avi(swapped)
+    assert len(frames) == 2  # the foreign 01dc chunk was NOT taken
+    assert all(f == good for f in frames)
+    assert fps == 5.0
+
+
+def test_cext_recompiles_over_corrupt_cached_so(monkeypatch, tmp_path):
+    """A corrupt cached .so (e.g. from a crashed earlier session) must
+    not permanently disable the C fast path: loading it fails, the
+    helper recompiles over the file once, and the reload succeeds."""
+    import subprocess as sp
+
+    from datafiller_spark.kernels import cext
+
+    if cext.lib() is None:
+        pytest.skip("no C compiler on this host; Python fallback only")
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile as _tf
+
+    monkeypatch.setattr(_tf, "tempdir", None)  # re-read TMPDIR
+    corrupt = cext._cache_path()
+    with open(corrupt, "wb") as f:
+        f.write(b"not an elf library")
+    calls = []
+    real_run = sp.run
+
+    def counting_run(*args, **kwargs):
+        calls.append(args[0])
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(cext.subprocess, "run", counting_run)
+    monkeypatch.setitem(cext._STATE, "lib", None)
+    monkeypatch.setitem(cext._STATE, "tried", False)
+    assert cext.lib() is not None, "corrupt cache must trigger a recompile"
+    assert len(calls) == 1
+    import ctypes
+
+    ctypes.CDLL(corrupt)  # the recompile replaced the corrupt file
+
+
 def test_jpeg_dht_trailing_garbage_raises():
     data = bytearray(encode_jpeg(_photo(16, 16)))
     at = bytes(data).find(b"\xff\xc4")
