@@ -91,24 +91,24 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     canonical_id) where canonical_id is the smallest member id.
     """
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    # regexp+md5 over the full text runs as wide as the scan splits;
-    # spread_input un-bottlenecks single-row-group inputs (no-op on
-    # well-split tables)
-    fps = spread_input(df.select(id_col, text_col)).select(
-        F.col(id_col), F.md5(normalized).alias("fp")
-    )
+    # NULL text → NULL fp. The SQL contract form joins fps back to the
+    # per-fp groups, and a NULL key never joins — but a window PARTITION
+    # BY groups NULLs together and would emit all NULL documents as one
+    # spurious duplicate group. fp is NULL iff text is NULL (md5 of a
+    # non-null string is never null; trim/lower/regexp preserve
+    # non-nullness), so drop NULL TEXT before hashing: the predicate
+    # pushes to the parquet scan, whereas a post-hoc isnotnull(fp) gets
+    # rewritten to isnotnull(md5(...)) below the respread exchange and
+    # evaluates the whole regexp+md5 twice, once at scan width.
+    fps = spread_input(
+        df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    ).select(F.col(id_col), F.md5(normalized).alias("fp"))
     # group stats via a window over fp instead of agg + join-back: ONE
     # exchange and ONE pass over the normalized text (the join form
     # re-ran the scan+regexp+md5 on both sides) — identical rows out
-    # NULL text → NULL fp. The SQL contract form joins fps back to the
-    # per-fp groups, and a NULL key never joins — but a window PARTITION
-    # BY groups NULLs together and would emit them as a spurious
-    # duplicate group. Filter NULL fps explicitly to keep the window
-    # form equivalent to the join form on corpora with NULL documents.
     w = Window.partitionBy("fp")
     return (
-        fps.where(F.col("fp").isNotNull())
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        fps.withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn("canonical_id", F.min(id_col).over(w))
         .where(F.col("group_size") > 1)
         .select("fp", "group_size", F.col(id_col), "canonical_id")
